@@ -1,0 +1,443 @@
+"""Steerable-feature Clebsch-Gordan tensor products.
+
+Two implementations:
+
+- ``L1TensorProduct``: the lmax=1 fast path, numerically matching the reference
+  ``L1TensorProduct`` (reference: models/segnn/l1_tensor_prod.py:9-299)
+  activation-for-activation, including its fan-in normalization quirk (Q1 in
+  SURVEY.md §2.2: l_out=0 path enumeration ignores parity when counting fan-in,
+  l1_tensor_prod.py:137-138).  The second operand is fixed to the l<=1
+  spherical harmonics ``1x0e+1x1o`` (l1_tensor_prod.py:17).  The channel
+  partition into (l, p) blocks with one dense GEMM per output block — the
+  reference's core idea (l1_tensor_prod.py:242-297) — is kept because it is
+  exactly the right shape for the TPU MXU; the boolean-mask gathers of the
+  reference become static index takes that XLA folds into slices.
+
+- ``TensorProduct``: generic fully-connected ('uvw') CG tensor product for any
+  lmax, built from the real-basis ``wigner_3j`` tensors.  Used for the lmax=2
+  configs where the reference has no specialized kernel.
+
+Design: modules are *static* Python objects built at trace time from Irreps
+specs; parameters are plain pytrees (dicts of jnp arrays) created by
+``init(key)`` and consumed by ``__call__(params, in1, in2)``.  All shapes,
+index maps and CG constants are compile-time constants.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.irreps import Instruction, Irrep, Irreps
+from ..core.wigner import wigner_3j
+
+__all__ = ["L1TensorProduct", "TensorProduct"]
+
+_SQRT3 = math.sqrt(3.0)
+CG110 = 1.0 / math.sqrt(3.0)  # l1·l1 -> l0 dot        (l1_tensor_prod.py:92)
+CG011 = 1.0 / math.sqrt(3.0)  # l0·l1 -> l1 scale      (l1_tensor_prod.py:93)
+CG111 = 1.0 / math.sqrt(6.0)  # l1×l1 -> l1 cross      (l1_tensor_prod.py:94)
+
+
+def _block_indices(irreps: Irreps) -> Dict[Tuple[int, int], np.ndarray]:
+    """Flat feature indices of each (l, p) block, in spec order.
+
+    Equivalent of the reference's boolean masks (l1_tensor_prod.py:24-65) but
+    as static integer index arrays usable with jnp.take; for regrouped specs
+    these are contiguous ranges and XLA lowers the takes to slices.
+    """
+    out: Dict[Tuple[int, int], List[int]] = {}
+    i = 0
+    for mi in irreps:
+        key = (mi.ir.l, mi.ir.p)
+        out.setdefault(key, []).extend(range(i, i + mi.dim))
+        i += mi.dim
+    return {k: np.asarray(v, dtype=np.int32) for k, v in out.items()}
+
+
+def _take(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
+    if idx.size == 0:
+        return x[..., :0]
+    # contiguous static range -> plain slice (cheapest for XLA)
+    if idx.size == idx[-1] - idx[0] + 1:
+        return x[..., int(idx[0]) : int(idx[-1]) + 1]
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+def _cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cross product over the trailing axis (cyclic in the (y,z,x) basis)."""
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack(
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-1
+    )
+
+
+class L1TensorProduct:
+    """Weighted CG tensor product, in1/out lmax=1, in2 = sh(1) = ``1x0e+1x1o``.
+
+    Matches the reference module's constructor contract
+    (l1_tensor_prod.py:9-11) and forward semantics (l1_tensor_prod.py:234-299):
+    weight layouts, path concat order, and the component/element normalization
+    including the Q1 fan-in overcount, so reference torch weights load directly
+    and activations agree to fp32 tolerance.
+
+    Only ``irrep_normalization="component"`` with ``path_normalization`` in
+    {"element", "none"} is supported; other combinations raise at construction
+    (the reference's remaining combos are unimplemented or broken — quirk Q2,
+    l1_tensor_prod.py:115-118).
+    """
+
+    def __init__(
+        self,
+        in1_irreps: Irreps,
+        out_irreps: Optional[Irreps] = None,
+        irrep_normalization: str = "component",
+        path_normalization: str = "element",
+        in1_var: Optional[List[float]] = None,
+        in2_var: Optional[List[float]] = None,
+        out_var: Optional[List[float]] = None,
+    ) -> None:
+        in1_irreps = Irreps(in1_irreps)
+        out_irreps = Irreps(out_irreps) if out_irreps is not None else in1_irreps
+        if in1_irreps.lmax > 1 or out_irreps.lmax > 1:
+            raise ValueError("L1TensorProduct requires lmax == 1 for in1 and out")
+        if irrep_normalization != "component" or path_normalization not in (
+            "element",
+            "none",
+        ):
+            raise ValueError(
+                "only irrep_normalization='component' with path_normalization in "
+                "{'element','none'} is supported (reference quirk Q2/Q6, "
+                "l1_tensor_prod.py:115-118)"
+            )
+
+        self.irreps_in1 = in1_irreps
+        self.irreps_in2 = Irreps.spherical_harmonics(1)
+        self.irreps_out = out_irreps
+        self.in1_dim = in1_irreps.dim
+        self.in2_dim = 4
+        self.out_dim = out_irreps.dim
+
+        i1 = _block_indices(in1_irreps)
+        io = _block_indices(out_irreps)
+        z = np.zeros((0,), np.int32)
+        self._i1_l0e = i1.get((0, 1), z)
+        self._i1_l0o = i1.get((0, -1), z)
+        self._i1_l1e = i1.get((1, 1), z)
+        self._i1_l1o = i1.get((1, -1), z)
+        self._io_l0e = io.get((0, 1), z)
+        self._io_l0o = io.get((0, -1), z)
+        self._io_l1e = io.get((1, 1), z)
+        self._io_l1o = io.get((1, -1), z)
+
+        self.num_i1_l0e = int(self._i1_l0e.size)
+        self.num_i1_l0o = int(self._i1_l0o.size)
+        self.num_i1_l1e = int(self._i1_l1e.size) // 3
+        self.num_i1_l1o = int(self._i1_l1o.size) // 3
+        self.dim_o_l0e = int(self._io_l0e.size)
+        self.dim_o_l0o = int(self._io_l0o.size)
+        self.dim_o_l1e = int(self._io_l1e.size)
+        self.dim_o_l1o = int(self._io_l1o.size)
+
+        # weight shapes: rows = path features in forward concat order, cols =
+        # output multiplicities (l1_tensor_prod.py:81-88)
+        self._w_shapes = {}
+        if (self.num_i1_l0e + self.num_i1_l1o) > 0 and self.dim_o_l0e > 0:
+            self._w_shapes["w_l0e"] = (self.num_i1_l0e + self.num_i1_l1o, self.dim_o_l0e)
+        if (self.num_i1_l0o + self.num_i1_l1e) > 0 and self.dim_o_l0o > 0:
+            self._w_shapes["w_l0o"] = (self.num_i1_l0o + self.num_i1_l1e, self.dim_o_l0o)
+        if (self.num_i1_l0o + self.num_i1_l1e + self.num_i1_l1o) > 0 and self.dim_o_l1e > 0:
+            self._w_shapes["w_l1e"] = (
+                self.num_i1_l0o + self.num_i1_l1e + self.num_i1_l1o,
+                self.dim_o_l1e // 3,
+            )
+        if (self.num_i1_l0e + self.num_i1_l1o + self.num_i1_l1e) > 0 and self.dim_o_l1o > 0:
+            self._w_shapes["w_l1o"] = (
+                self.num_i1_l0e + self.num_i1_l1o + self.num_i1_l1e,
+                self.dim_o_l1o // 3,
+            )
+
+        # ---- normalization constants + instruction list ----
+        # (l1_tensor_prod.py:97-193, incl. the Q1 fan-in enumeration at :137-138)
+        n1 = len(in1_irreps)
+        in1_var = [1.0] * n1 if in1_var is None else [float(v) for v in in1_var]
+        if len(in1_var) != n1:
+            raise ValueError("len(in1_var) must equal len(in1_irreps)")
+        in2_var = [1.0, 1.0] if in2_var is None else [float(v) for v in in2_var]
+        if len(in2_var) != len(self.irreps_in2):
+            raise ValueError("len(in2_var) must equal len(in2_irreps)")
+        out_var_ = (
+            [1.0] * len(out_irreps) if out_var is None else [float(v) for v in out_var]
+        )
+        if len(out_var_) != len(out_irreps):
+            raise ValueError("len(out_var) must equal len(out_irreps)")
+
+        self.path_normalization = path_normalization
+        self.instructions: List[Instruction] = []
+        norm = {
+            "l0e": np.zeros(self.dim_o_l0e),
+            "l0o": np.zeros(self.dim_o_l0o),
+            "l1e": np.zeros(self.dim_o_l1e),
+            "l1o": np.zeros(self.dim_o_l1o),
+        }
+        # per-weight-column init half-width (1 under 'element'; 1/sqrt(x) under 'none')
+        wi_cols = {k: np.ones(s[1]) for k, s in self._w_shapes.items()}
+        offs = {"l0e": 0, "l0o": 0, "l1e": 0, "l1o": 0}
+        col_offs = {"l0e": 0, "l0o": 0, "l1e": 0, "l1o": 0}
+        for io_idx, mir_out in enumerate(out_irreps):
+            alpha = mir_out.ir.dim * out_var_[io_idx]
+            x = 0.0
+            ins_this_out = []
+            for ii2, mir_in2 in enumerate(self.irreps_in2):
+                for ii1, mir_in1 in enumerate(in1_irreps):
+                    lo, l1_, l2 = mir_out.ir.l, mir_in1.ir.l, mir_in2.ir.l
+                    po, p1, p2 = mir_out.ir.p, mir_in1.ir.p, mir_in2.ir.p
+                    # exact replica of the reference's condition incl. Python
+                    # operator precedence (quirk Q1, l1_tensor_prod.py:137-138):
+                    # parity binds only to the l_out==1 branch.
+                    if (lo == 0 and l2 == l1_) or (
+                        (lo == 1 and (l2 | l1_) != 0) and po == p2 * p1
+                    ):
+                        x += in1_var[ii1] * in2_var[ii2] * mir_in1.mul * mir_in2.mul
+                        ins_this_out.append(
+                            Instruction(
+                                ii1, ii2, io_idx, "uvw", True, alpha,
+                                (mir_in1.mul, mir_in2.mul, mir_out.mul),
+                            )
+                        )
+            if path_normalization == "none":
+                a = math.sqrt(alpha)
+                wi = 1.0 / math.sqrt(x) if x > 0 else 1.0
+            else:  # element
+                a = math.sqrt(alpha / x) if x > 0 else math.sqrt(alpha)
+                wi = 1.0
+            self.instructions.extend(
+                ins._replace(path_weight=a) for ins in ins_this_out
+            )
+            key = f"l{mir_out.ir.l}{'e' if mir_out.ir.p == 1 else 'o'}"
+            norm[key][offs[key] : offs[key] + mir_out.dim] = a
+            offs[key] += mir_out.dim
+            wkey = "w_" + key
+            if wkey in wi_cols:
+                wi_cols[wkey][col_offs[key] : col_offs[key] + mir_out.mul] = wi
+            col_offs[key] += mir_out.mul
+
+        self._norm = {k: v for k, v in norm.items()}
+        self._wi_cols = wi_cols
+
+    # ---- params ----
+
+    def init(self, key, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+        """uniform[-wi, wi] per output column (l1_tensor_prod.py:82,175-188)."""
+        params = {}
+        keys = jax.random.split(key, max(len(self._w_shapes), 1))
+        for (name, shape), k in zip(sorted(self._w_shapes.items()), keys):
+            u = jax.random.uniform(k, shape, dtype=dtype, minval=-1.0, maxval=1.0)
+            params[name] = u * jnp.asarray(self._wi_cols[name], dtype=dtype)
+        return params
+
+    def param_shapes(self) -> Dict[str, Tuple[int, int]]:
+        return dict(self._w_shapes)
+
+    # ---- forward ----
+
+    def __call__(
+        self, params: Dict[str, jnp.ndarray], in1: jnp.ndarray, in2: jnp.ndarray
+    ) -> jnp.ndarray:
+        """out[..., out_dim] = norm ⊙ blockwise GEMMs (l1_tensor_prod.py:234-299).
+
+        Accepts arbitrary leading batch dims (the reference is strictly 2-D,
+        quirk Q4; we lift that restriction — layouts are unchanged).
+        """
+        if in1.shape[-1] != self.in1_dim:
+            raise ValueError(f"in1 last dim {in1.shape[-1]} != {self.in1_dim}")
+        if in2.shape[-1] != self.in2_dim:
+            raise ValueError(f"in2 last dim {in2.shape[-1]} != {self.in2_dim}")
+
+        dt = in1.dtype
+        x0e = _take(in1, self._i1_l0e)
+        x0o = _take(in1, self._i1_l0o)
+        x1e = _take(in1, self._i1_l1e).reshape(in1.shape[:-1] + (self.num_i1_l1e, 3))
+        x1o = _take(in1, self._i1_l1o).reshape(in1.shape[:-1] + (self.num_i1_l1o, 3))
+        s = in2[..., 0:1]
+        v = in2[..., 1:4]
+
+        blocks = {}
+        if self.dim_o_l0e > 0:
+            feats = [x0e * s]
+            if self.num_i1_l1o > 0:
+                feats.append(CG110 * jnp.einsum("...mc,...c->...m", x1o, v))
+            f = jnp.concatenate(feats, axis=-1)
+            res = jnp.matmul(f, params["w_l0e"], preferred_element_type=jnp.float32)
+            blocks[(0, 1)] = (res * jnp.asarray(self._norm["l0e"], dt)).astype(dt)
+        if self.dim_o_l0o > 0:
+            feats = [x0o * s]
+            if self.num_i1_l1e > 0:
+                feats.append(CG110 * jnp.einsum("...mc,...c->...m", x1e, v))
+            f = jnp.concatenate(feats, axis=-1)
+            res = jnp.matmul(f, params["w_l0o"], preferred_element_type=jnp.float32)
+            blocks[(0, -1)] = (res * jnp.asarray(self._norm["l0o"], dt)).astype(dt)
+        if self.dim_o_l1e > 0:
+            feats = [CG011 * x0o[..., :, None] * v[..., None, :]]
+            if self.num_i1_l1e > 0:
+                feats.append(CG011 * x1e * s[..., None])
+            if self.num_i1_l1o > 0:
+                feats.append(CG111 * _cross(x1o, v[..., None, :]))
+            f = jnp.concatenate(feats, axis=-2)  # [..., P, 3]
+            res = jnp.einsum(
+                "...pc,pm->...mc", f, params["w_l1e"],
+                preferred_element_type=jnp.float32,
+            ).reshape(in1.shape[:-1] + (self.dim_o_l1e,))
+            blocks[(1, 1)] = (res * jnp.asarray(self._norm["l1e"], dt)).astype(dt)
+        if self.dim_o_l1o > 0:
+            feats = [CG011 * x0e[..., :, None] * v[..., None, :]]
+            if self.num_i1_l1o > 0:
+                feats.append(CG011 * x1o * s[..., None])
+            if self.num_i1_l1e > 0:
+                feats.append(CG111 * _cross(x1e, v[..., None, :]))
+            f = jnp.concatenate(feats, axis=-2)
+            res = jnp.einsum(
+                "...pc,pm->...mc", f, params["w_l1o"],
+                preferred_element_type=jnp.float32,
+            ).reshape(in1.shape[:-1] + (self.dim_o_l1o,))
+            blocks[(1, -1)] = (res * jnp.asarray(self._norm["l1o"], dt)).astype(dt)
+
+        return self._assemble(blocks, in1.shape[:-1], dt)
+
+    def _assemble(self, blocks, lead, dt) -> jnp.ndarray:
+        """Scatter (l,p) blocks back to the flat spec-order layout."""
+        idx_order = []
+        parts = []
+        for key, idx in (
+            ((0, 1), self._io_l0e),
+            ((0, -1), self._io_l0o),
+            ((1, 1), self._io_l1e),
+            ((1, -1), self._io_l1o),
+        ):
+            if idx.size:
+                idx_order.append(idx)
+                parts.append(blocks[key])
+        concat = jnp.concatenate(parts, axis=-1)
+        perm = np.concatenate(idx_order)
+        if np.array_equal(perm, np.arange(self.out_dim)):
+            return concat
+        inv = np.argsort(perm, kind="stable")
+        return jnp.take(concat, jnp.asarray(inv), axis=-1)
+
+
+class TensorProduct:
+    """Generic fully-connected ('uvw') weighted CG tensor product, any lmax.
+
+    e3nn-compatible semantics with *correct* selection-rule path enumeration
+    (no Q1 quirk — that is exclusive to the reference-compat L1 module):
+    a path (i1, i2) -> io exists iff ``ir_out ∈ ir_in1 * ir_in2``.
+
+    out_io = norm_io * Σ_paths  einsum('...ui,...vj,ijk->...uvk', x1, x2, C)
+             contracted with W[(u·v)_total, w]   per output group io,
+
+    with component/element normalization: norm_io = sqrt((2l_out+1) / fan_in).
+
+    For the common case where in2 is a spherical-harmonic embedding (all muls
+    1) each path reduces to one small einsum and the per-group contraction is
+    a single [..., P, 2l+1] x [P, w] GEMM on the MXU — the same compute shape
+    as the L1 fast path, generalized.
+    """
+
+    def __init__(
+        self,
+        irreps_in1: Irreps,
+        irreps_in2: Irreps,
+        irreps_out: Irreps,
+        irrep_normalization: str = "component",
+        path_normalization: str = "element",
+    ) -> None:
+        self.irreps_in1 = Irreps(irreps_in1)
+        self.irreps_in2 = Irreps(irreps_in2)
+        self.irreps_out = Irreps(irreps_out)
+        if irrep_normalization != "component" or path_normalization != "element":
+            raise ValueError("only component/element normalization implemented")
+
+        self.in1_dim = self.irreps_in1.dim
+        self.in2_dim = self.irreps_in2.dim
+        self.out_dim = self.irreps_out.dim
+
+        sl1 = self.irreps_in1.slices()
+        sl2 = self.irreps_in2.slices()
+        slo = self.irreps_out.slices()
+
+        self.instructions: List[Instruction] = []
+        # per output group: list of (sl1, mul1, l1, sl2, mul2, l2, cg) paths
+        self._paths: List[List[tuple]] = [[] for _ in self.irreps_out]
+        self._norm: List[float] = []
+        self._w_shapes: Dict[str, Tuple[int, int]] = {}
+        self._out_slices = slo
+
+        for io, mo in enumerate(self.irreps_out):
+            fan_in = 0
+            rows = 0
+            ins_this_out = []
+            for i2, m2 in enumerate(self.irreps_in2):
+                for i1, m1 in enumerate(self.irreps_in1):
+                    if mo.ir in list(m1.ir * m2.ir):
+                        cg = wigner_3j(m1.ir.l, m2.ir.l, mo.ir.l)
+                        self._paths[io].append(
+                            (sl1[i1], m1.mul, m1.ir.l, sl2[i2], m2.mul, m2.ir.l, cg)
+                        )
+                        fan_in += m1.mul * m2.mul
+                        rows += m1.mul * m2.mul
+                        ins_this_out.append(
+                            Instruction(
+                                i1, i2, io, "uvw", True, 0.0,
+                                (m1.mul, m2.mul, mo.mul),
+                            )
+                        )
+            a = math.sqrt(mo.ir.dim / fan_in) if fan_in > 0 else 0.0
+            self.instructions.extend(i._replace(path_weight=a) for i in ins_this_out)
+            self._norm.append(a)
+            if rows > 0 and mo.mul > 0:
+                self._w_shapes[f"w{io}"] = (rows, mo.mul)
+
+    def init(self, key, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+        params = {}
+        keys = jax.random.split(key, max(len(self._w_shapes), 1))
+        for (name, shape), k in zip(sorted(self._w_shapes.items()), keys):
+            params[name] = jax.random.normal(k, shape, dtype=dtype)
+        return params
+
+    def __call__(
+        self, params: Dict[str, jnp.ndarray], in1: jnp.ndarray, in2: jnp.ndarray
+    ) -> jnp.ndarray:
+        if in1.shape[-1] != self.in1_dim:
+            raise ValueError(f"in1 last dim {in1.shape[-1]} != {self.in1_dim}")
+        if in2.shape[-1] != self.in2_dim:
+            raise ValueError(f"in2 last dim {in2.shape[-1]} != {self.in2_dim}")
+        lead = in1.shape[:-1]
+        dt = in1.dtype
+        out_parts = []
+        for io, mo in enumerate(self.irreps_out):
+            name = f"w{io}"
+            if name not in self._w_shapes:
+                out_parts.append(jnp.zeros(lead + (mo.dim,), dtype=dt))
+                continue
+            path_feats = []
+            for sl_1, mul1, l1, sl_2, mul2, l2, cg in self._paths[io]:
+                x1 = in1[..., sl_1].reshape(lead + (mul1, 2 * l1 + 1))
+                x2 = in2[..., sl_2].reshape(lead + (mul2, 2 * l2 + 1))
+                # [..., u, v, k] -> [..., u*v, k]
+                f = jnp.einsum(
+                    "...ui,...vj,ijk->...uvk", x1, x2, jnp.asarray(cg, dt)
+                ).reshape(lead + (mul1 * mul2, 2 * mo.ir.l + 1))
+                path_feats.append(f)
+            f = jnp.concatenate(path_feats, axis=-2)  # [..., P, k]
+            res = jnp.einsum(
+                "...pk,pw->...wk", f, params[name],
+                preferred_element_type=jnp.float32,
+            )
+            res = (self._norm[io] * res).astype(dt).reshape(lead + (mo.dim,))
+            out_parts.append(res)
+        return jnp.concatenate(out_parts, axis=-1)
