@@ -1,0 +1,238 @@
+"""SEGNN: steerable E(3)-equivariant message-passing network.
+
+The model family the reference's ``L1TensorProduct`` was built for (SURVEY.md
+§3.3 [external context]: Brandstetter et al., ICLR 2022 — messages are
+CG tensor products of concatenated node features with the spherical-harmonic
+embedding of the edge direction, aggregated by scatter-sum; updates are tensor
+products with node attributes; gate nonlinearities in between).
+
+The mounted reference contains only the TP module; the surrounding SEGNN stack
+here is built to the capability spec (BASELINE.json:5), TPU-first: one flat
+padded node/edge address space, static shapes, sorted-receiver segment sums,
+and the blockwise-GEMM tensor product on the MXU.
+
+All modules are static objects with ``init(key) -> params`` (nested dict) and
+``__call__(params, ...)``; the whole forward is jit/pjit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.irreps import Irreps
+from ..core.spherical import spherical_harmonics
+from ..graph.container import SteerableGraph
+from ..ops.gate import Gate
+from ..ops.gather_scatter import gather, segment_mean, segment_sum
+from ..ops.linear import O3Linear
+from ..ops.tensor_product import L1TensorProduct, TensorProduct
+
+__all__ = ["O3TensorProductGate", "SEGNNLayer", "SEGNN"]
+
+
+def _make_tp(irreps_in: Irreps, irreps_attr: Irreps, irreps_out: Irreps):
+    """Pick the lmax=1 fast path when applicable, else the generic CG product."""
+    if (
+        irreps_in.lmax <= 1
+        and irreps_out.lmax <= 1
+        and repr(irreps_attr.regroup()) == "1x0e+1x1o"
+    ):
+        return L1TensorProduct(irreps_in, irreps_out)
+    return TensorProduct(irreps_in, irreps_attr, irreps_out)
+
+
+class O3TensorProductGate:
+    """Steerable 'dense layer': CG tensor product with attr, then gate.
+
+    The TP emits ``scalars ‖ gates ‖ gated`` (gates are extra 0e channels, one
+    per non-scalar copy of the target irreps); the gate squashes them.  Output
+    irreps == ``irreps_out``.
+    """
+
+    def __init__(
+        self,
+        irreps_in: Irreps,
+        irreps_attr: Irreps,
+        irreps_out: Irreps,
+        act: Callable = jax.nn.silu,
+        gated: bool = True,
+    ) -> None:
+        self.irreps_in = Irreps(irreps_in)
+        self.irreps_out = Irreps(irreps_out)
+        self.gated = gated
+        if gated:
+            scalars = Irreps([mi for mi in self.irreps_out if mi.ir.l == 0])
+            non_scalars = Irreps([mi for mi in self.irreps_out if mi.ir.l > 0])
+            self.gate = Gate(scalars, non_scalars, act_scalars=act)
+            tp_out = self.gate.irreps_in
+        else:
+            self.gate = None
+            tp_out = self.irreps_out
+        self.tp = _make_tp(self.irreps_in, Irreps(irreps_attr), tp_out)
+
+    def init(self, key, dtype=jnp.float32):
+        return self.tp.init(key, dtype=dtype)
+
+    def __call__(self, params, x: jnp.ndarray, attr: jnp.ndarray) -> jnp.ndarray:
+        y = self.tp(params, x, attr)
+        return self.gate(y) if self.gate is not None else y
+
+
+class SEGNNLayer:
+    """One message-passing layer.
+
+    message m_e   = TPGate( [h_{s_e} ‖ h_{r_e} ‖ ‖x_rel‖²] , edge_attr_e )  (×2)
+    aggregate     = segment_sum over receivers (sorted COO)
+    update        = TPGate( [h_i ‖ agg_i] , node_attr_i )  (+ residual)
+    """
+
+    def __init__(
+        self,
+        hidden_irreps: Irreps,
+        attr_irreps: Irreps,
+        act: Callable = jax.nn.silu,
+        num_message_layers: int = 2,
+        num_update_layers: int = 2,
+    ) -> None:
+        h = Irreps(hidden_irreps)
+        a = Irreps(attr_irreps)
+        self.hidden_irreps = h
+        edge_in = h + h + Irreps("1x0e")  # h_s ‖ h_r ‖ dist²
+        self.message_layers: List[O3TensorProductGate] = []
+        cur = edge_in
+        for _ in range(num_message_layers):
+            self.message_layers.append(O3TensorProductGate(cur, a, h, act=act))
+            cur = h
+        node_in = h + h
+        self.update_layers: List[O3TensorProductGate] = []
+        cur = node_in
+        for i in range(num_update_layers):
+            gated = i < num_update_layers - 1
+            self.update_layers.append(
+                O3TensorProductGate(cur, a, h, act=act, gated=gated)
+            )
+            cur = h
+
+    def init(self, key, dtype=jnp.float32):
+        n = len(self.message_layers) + len(self.update_layers)
+        keys = jax.random.split(key, n)
+        params = {}
+        for i, (layer, k) in enumerate(zip(self.message_layers, keys)):
+            params[f"msg_{i}"] = layer.init(k, dtype=dtype)
+        for i, (layer, k) in enumerate(
+            zip(self.update_layers, keys[len(self.message_layers) :])
+        ):
+            params[f"upd_{i}"] = layer.init(k, dtype=dtype)
+        return params
+
+    def __call__(
+        self,
+        params,
+        graph: SteerableGraph,
+        edge_attr: jnp.ndarray,
+        node_attr: jnp.ndarray,
+        edge_dist2: jnp.ndarray,
+    ) -> SteerableGraph:
+        h = graph.nodes
+        n = graph.num_nodes
+        # guard padding indices for the gather (they scatter to the trash
+        # segment on the way back, so clipped gathers are harmless)
+        s = jnp.minimum(graph.senders, n - 1)
+        r = jnp.minimum(graph.receivers, n - 1)
+        m = jnp.concatenate([gather(h, s), gather(h, r), edge_dist2[:, None]], axis=-1)
+        for i, layer in enumerate(self.message_layers):
+            m = layer(params[f"msg_{i}"], m, edge_attr)
+        m = jnp.where(graph.edge_mask[:, None], m, 0.0)
+        agg = segment_sum(m, graph.receivers, n, indices_are_sorted=True)
+        u = jnp.concatenate([h, agg], axis=-1)
+        for i, layer in enumerate(self.update_layers):
+            u = layer(params[f"upd_{i}"], u, node_attr)
+        h = h + u  # residual
+        h = jnp.where(graph.node_mask[:, None], h, 0.0)
+        return graph.replace_nodes(h)
+
+
+class SEGNN:
+    """Full SEGNN: embed -> N message-passing layers -> output head.
+
+    ``lmax_attr`` controls the spherical-harmonic order of edge/node attributes
+    (lmax=1 engages the reference-parity fast path everywhere).  The output
+    head maps to ``output_irreps`` per node; graph-level targets pool first.
+    """
+
+    def __init__(
+        self,
+        input_irreps: Irreps,
+        hidden_irreps: Irreps,
+        output_irreps: Irreps,
+        lmax_attr: int = 1,
+        num_layers: int = 4,
+        act: Callable = jax.nn.silu,
+        task: str = "node",  # "node" | "graph"
+        vel_attr: bool = False,
+    ) -> None:
+        self.input_irreps = Irreps(input_irreps)
+        self.hidden_irreps = Irreps(hidden_irreps)
+        self.output_irreps = Irreps(output_irreps)
+        self.lmax_attr = lmax_attr
+        self.attr_irreps = Irreps.spherical_harmonics(lmax_attr)
+        self.task = task
+        self.vel_attr = vel_attr
+
+        self.embed = O3TensorProductGate(
+            self.input_irreps, self.attr_irreps, self.hidden_irreps, act=act, gated=False
+        )
+        self.layers = [
+            SEGNNLayer(self.hidden_irreps, self.attr_irreps, act=act)
+            for _ in range(num_layers)
+        ]
+        self.pre_head = O3TensorProductGate(
+            self.hidden_irreps, self.attr_irreps, self.hidden_irreps, act=act
+        )
+        self.head = O3Linear(self.hidden_irreps, self.output_irreps, bias=True)
+
+    def init(self, key, dtype=jnp.float32):
+        keys = jax.random.split(key, len(self.layers) + 3)
+        params = {"embed": self.embed.init(keys[0], dtype=dtype)}
+        for i, (layer, k) in enumerate(zip(self.layers, keys[1:])):
+            params[f"layer_{i}"] = layer.init(k, dtype=dtype)
+        params["pre_head"] = self.pre_head.init(keys[-2], dtype=dtype)
+        params["head"] = self.head.init(keys[-1], dtype=dtype)
+        return params
+
+    def compute_attributes(
+        self, graph: SteerableGraph, velocities: Optional[jnp.ndarray] = None
+    ):
+        """Edge attr = sh(x_rel); node attr = mean of incident edge attrs
+        (+ sh(v) when ``vel_attr``); the scalar channel is reset to 1."""
+        rel = graph.rel_positions()
+        dist2 = jnp.sum(rel * rel, axis=-1)
+        edge_attr = spherical_harmonics(self.lmax_attr, rel)
+        edge_attr = jnp.where(graph.edge_mask[:, None], edge_attr, 0.0)
+        node_attr = segment_mean(edge_attr, graph.receivers, graph.num_nodes)
+        if self.vel_attr and velocities is not None:
+            node_attr = node_attr + spherical_harmonics(self.lmax_attr, velocities)
+        # keep the l=0 channel exactly 1 (sh normalization) for stability
+        node_attr = node_attr.at[..., 0].set(1.0)
+        return edge_attr, node_attr, dist2
+
+    def __call__(
+        self,
+        params,
+        graph: SteerableGraph,
+        velocities: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        edge_attr, node_attr, dist2 = self.compute_attributes(graph, velocities)
+        h = self.embed(params["embed"], graph.nodes, node_attr)
+        g = graph.replace_nodes(h)
+        for i, layer in enumerate(self.layers):
+            g = layer(params[f"layer_{i}"], g, edge_attr, node_attr, dist2)
+        h = self.pre_head(params["pre_head"], g.nodes, node_attr)
+        out = self.head(params["head"], h)
+        if self.task == "graph":
+            out = jnp.where(graph.node_mask[:, None], out, 0.0)
+            out = segment_sum(out, graph.node_graph, graph.n_graphs)
+        return out

@@ -1,0 +1,77 @@
+"""Gate nonlinearity for steerable features.
+
+The equivariant nonlinearity of the SEGNN stack (SURVEY.md §3.3: "gate
+nonlinearity" sits between the tensor product and the scatter aggregation;
+absent from the mounted reference, which only contains the TP module).
+
+Input layout: ``scalars ‖ gates ‖ gated`` —
+- ``irreps_scalars``: l=0 features passed through ``act_scalars``;
+- one l=0 gate per non-scalar irrep copy, squashed by ``act_gates``;
+- ``irreps_gated``: the non-scalar features, multiplied channelwise by their
+  gate.  Multiplying an (l,p) irrep by an even scalar is equivariant, so the
+  whole op commutes with the O(3) action.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.irreps import Irreps
+
+__all__ = ["Gate"]
+
+
+class Gate:
+    """scalars -> act(scalars); gated -> act(gates) * gated.
+
+    ``irreps_in = irreps_scalars + num_gated x 0e + irreps_gated`` where
+    ``num_gated`` is the total multiplicity of ``irreps_gated``.
+    ``irreps_out = irreps_scalars + irreps_gated``.
+    """
+
+    def __init__(
+        self,
+        irreps_scalars: Irreps,
+        irreps_gated: Irreps,
+        act_scalars: Callable = jax.nn.silu,
+        act_gates: Callable = jax.nn.sigmoid,
+    ) -> None:
+        self.irreps_scalars = Irreps(irreps_scalars)
+        self.irreps_gated = Irreps(irreps_gated)
+        if any(mi.ir.l == 0 for mi in self.irreps_gated):
+            raise ValueError("irreps_gated must contain only l > 0 irreps")
+        if any(mi.ir.l != 0 for mi in self.irreps_scalars):
+            raise ValueError("irreps_scalars must contain only l == 0 irreps")
+        self.num_gates = self.irreps_gated.num_irreps
+        self.irreps_in = (
+            self.irreps_scalars + Irreps([(self.num_gates, "0e")]) + self.irreps_gated
+        )
+        self.irreps_out = self.irreps_scalars + self.irreps_gated
+        self.act_scalars = act_scalars
+        self.act_gates = act_gates
+
+        self._ns = self.irreps_scalars.dim
+        # per-gated-group (mul, 2l+1) shapes, in order
+        self._gated_shapes = [(mi.mul, mi.ir.dim) for mi in self.irreps_gated]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ns, ng = self._ns, self.num_gates
+        scalars = x[..., :ns]
+        gates = x[..., ns : ns + ng]
+        gated = x[..., ns + ng :]
+
+        out = [self.act_scalars(scalars)] if ns else []
+        if ng:
+            g = self.act_gates(gates)
+            gi = 0
+            off = 0
+            for mul, d in self._gated_shapes:
+                blk = gated[..., off : off + mul * d].reshape(x.shape[:-1] + (mul, d))
+                blk = blk * g[..., gi : gi + mul, None]
+                out.append(blk.reshape(x.shape[:-1] + (mul * d,)))
+                gi += mul
+                off += mul * d
+        return jnp.concatenate(out, axis=-1)

@@ -1,0 +1,129 @@
+"""Sparse neighborhood aggregation: gather / segment-sum scatter, SpMM, SDDMM.
+
+The message-passing hot loop (SURVEY.md §3.4): per edge e=(s_e, r_e), gather
+node features, compute a per-edge message, and scatter-sum into destination
+nodes.  TPU-native design decisions:
+
+- **Static shapes**: graphs carry padded edge arrays; padding edges point at a
+  trash row (``segment_id == num_segments``) so no boolean masking is needed in
+  the hot path — XLA's segment-sum handles out-of-range ids by dropping them.
+- **Sorted-COO layout**: edges sorted by receiver make the scatter a segment
+  reduction over contiguous runs (``indices_are_sorted=True``), which XLA
+  lowers far better than random-access scatter-add; the graph builders in
+  ``graph/`` emit this layout.
+- The reference has no aggregation code in the mount; the capability spec is
+  BASELINE.json:5 ("sparse gather/scatter neighborhood aggregation",
+  "segment-sum scatter aggregation, SpMM/SDDMM").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "gather",
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "scatter_sum",
+    "spmm",
+    "sddmm",
+]
+
+
+def gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge gather of node rows: ``x[idx]`` with explicit mode semantics.
+
+    Out-of-range indices (edge padding) clip to the last row; callers relying
+    on padding must mask downstream or scatter to the trash segment instead.
+    """
+    return jnp.take(x, idx, axis=0, indices_are_sorted=False, unique_indices=False)
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Sum ``data`` rows into ``num_segments`` buckets; ids >= num_segments drop.
+
+    This is the aggregation primitive (messages -> destination nodes).  Padding
+    edges use ``segment_ids == num_segments`` and vanish for free.
+    """
+    return jax.ops.segment_sum(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+    eps: float = 1e-9,
+) -> jnp.ndarray:
+    s = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
+    cnt = segment_sum(
+        jnp.ones(data.shape[:1], dtype=data.dtype),
+        segment_ids,
+        num_segments,
+        indices_are_sorted,
+    )
+    return s / jnp.maximum(cnt, eps)[:, None] if data.ndim > 1 else s / jnp.maximum(cnt, eps)
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    return jax.ops.segment_max(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def scatter_sum(
+    messages: jnp.ndarray,
+    receivers: jnp.ndarray,
+    num_nodes: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Alias of segment_sum with message-passing naming."""
+    return segment_sum(messages, receivers, num_nodes, indices_are_sorted)
+
+
+def spmm(
+    edge_weights: Optional[jnp.ndarray],
+    node_features: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    num_nodes: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Sparse (adjacency) × dense (features): out[r] = Σ_{e: recv=r} w_e · x[s_e].
+
+    ``edge_weights=None`` is the unweighted adjacency product (plain
+    neighborhood sum).  COO with padded edges pointing at segment num_nodes.
+    """
+    msgs = gather(node_features, senders)
+    if edge_weights is not None:
+        msgs = msgs * edge_weights[:, None]
+    return segment_sum(msgs, receivers, num_nodes, indices_are_sorted)
+
+
+def sddmm(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sampled dense-dense matmul: per-edge dots e_k = <a[s_k], b[r_k]>."""
+    return jnp.sum(gather(a, senders) * gather(b, receivers), axis=-1)
