@@ -96,7 +96,13 @@ class SEGNNLayer:
         act: Callable = jax.nn.silu,
         num_message_layers: int = 2,
         num_update_layers: int = 2,
+        remat: bool = False,
     ) -> None:
+        # remat: rematerialize per-edge message intermediates in the backward
+        # pass (jax.checkpoint) — at point-cloud scale the saved [E, F]
+        # activations dominate HBM, and recomputing them is cheaper than
+        # spilling (SURVEY.md §6: gather/scatter-bound, not MXU-bound)
+        self.remat = remat
         h = Irreps(hidden_irreps)
         a = Irreps(attr_irreps)
         self.hidden_irreps = h
@@ -128,6 +134,48 @@ class SEGNNLayer:
             params[f"upd_{i}"] = layer.init(k, dtype=dtype)
         return params
 
+    def apply(
+        self,
+        params,
+        h_local: jnp.ndarray,  # [N_local, F]
+        h_ext: jnp.ndarray,  # [N_ext >= N_local, F]: local ‖ halo features
+        senders: jnp.ndarray,  # [E] indices into h_ext
+        receivers: jnp.ndarray,  # [E] indices into h_local (sorted; pad=N_local)
+        edge_attr: jnp.ndarray,
+        node_attr: jnp.ndarray,
+        edge_dist2: jnp.ndarray,
+        edge_mask: jnp.ndarray,
+        node_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Core message->aggregate->update; sender space may include halo rows.
+
+        Single-device: pass ``h_ext = h_local``.  Distributed (SURVEY.md §3.4):
+        ``h_ext`` is local features concatenated with exchanged boundary
+        features, senders pre-remapped into that space by the partitioner.
+        """
+        n = h_local.shape[0]
+
+        def messages_and_aggregate(msg_params, h_local_, h_ext_):
+            s = jnp.minimum(senders, h_ext_.shape[0] - 1)
+            r = jnp.minimum(receivers, n - 1)
+            m = jnp.concatenate(
+                [gather(h_ext_, s), gather(h_local_, r), edge_dist2[:, None]],
+                axis=-1,
+            )
+            for i, layer in enumerate(self.message_layers):
+                m = layer(msg_params[f"msg_{i}"], m, edge_attr)
+            m = jnp.where(edge_mask[:, None], m, 0.0)
+            return segment_sum(m, receivers, n, indices_are_sorted=True)
+
+        if self.remat:
+            messages_and_aggregate = jax.checkpoint(messages_and_aggregate)
+        agg = messages_and_aggregate(params, h_local, h_ext)
+        u = jnp.concatenate([h_local, agg], axis=-1)
+        for i, layer in enumerate(self.update_layers):
+            u = layer(params[f"upd_{i}"], u, node_attr)
+        h = h_local + u  # residual
+        return jnp.where(node_mask[:, None], h, 0.0)
+
     def __call__(
         self,
         params,
@@ -136,22 +184,18 @@ class SEGNNLayer:
         node_attr: jnp.ndarray,
         edge_dist2: jnp.ndarray,
     ) -> SteerableGraph:
-        h = graph.nodes
-        n = graph.num_nodes
-        # guard padding indices for the gather (they scatter to the trash
-        # segment on the way back, so clipped gathers are harmless)
-        s = jnp.minimum(graph.senders, n - 1)
-        r = jnp.minimum(graph.receivers, n - 1)
-        m = jnp.concatenate([gather(h, s), gather(h, r), edge_dist2[:, None]], axis=-1)
-        for i, layer in enumerate(self.message_layers):
-            m = layer(params[f"msg_{i}"], m, edge_attr)
-        m = jnp.where(graph.edge_mask[:, None], m, 0.0)
-        agg = segment_sum(m, graph.receivers, n, indices_are_sorted=True)
-        u = jnp.concatenate([h, agg], axis=-1)
-        for i, layer in enumerate(self.update_layers):
-            u = layer(params[f"upd_{i}"], u, node_attr)
-        h = h + u  # residual
-        h = jnp.where(graph.node_mask[:, None], h, 0.0)
+        h = self.apply(
+            params,
+            graph.nodes,
+            graph.nodes,
+            graph.senders,
+            graph.receivers,
+            edge_attr,
+            node_attr,
+            edge_dist2,
+            graph.edge_mask,
+            graph.node_mask,
+        )
         return graph.replace_nodes(h)
 
 
@@ -173,6 +217,7 @@ class SEGNN:
         act: Callable = jax.nn.silu,
         task: str = "node",  # "node" | "graph"
         vel_attr: bool = False,
+        remat: bool = False,
     ) -> None:
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
@@ -186,7 +231,7 @@ class SEGNN:
             self.input_irreps, self.attr_irreps, self.hidden_irreps, act=act, gated=False
         )
         self.layers = [
-            SEGNNLayer(self.hidden_irreps, self.attr_irreps, act=act)
+            SEGNNLayer(self.hidden_irreps, self.attr_irreps, act=act, remat=remat)
             for _ in range(num_layers)
         ]
         self.pre_head = O3TensorProductGate(
@@ -212,7 +257,10 @@ class SEGNN:
         dist2 = jnp.sum(rel * rel, axis=-1)
         edge_attr = spherical_harmonics(self.lmax_attr, rel)
         edge_attr = jnp.where(graph.edge_mask[:, None], edge_attr, 0.0)
-        node_attr = segment_mean(edge_attr, graph.receivers, graph.num_nodes)
+        # padding edges must not count in the mean: send them to the trash
+        # segment (keeps parity with the partitioned path, which drops them)
+        recv_cnt = jnp.where(graph.edge_mask, graph.receivers, graph.num_nodes)
+        node_attr = segment_mean(edge_attr, recv_cnt, graph.num_nodes)
         if self.vel_attr and velocities is not None:
             node_attr = node_attr + spherical_harmonics(self.lmax_attr, velocities)
         # keep the l=0 channel exactly 1 (sh normalization) for stability

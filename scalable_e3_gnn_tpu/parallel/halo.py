@@ -1,0 +1,182 @@
+"""Halo exchange + distributed SEGNN execution over a device mesh.
+
+The TPU-native communication backend (SURVEY.md §5.8): boundary node features
+move between chips through XLA collectives over ICI inside ``shard_map`` — no
+host-side comm library.  Per message-passing layer:
+
+1. each device packs its exported boundary features (``boundary_idx``);
+2. one ``all_gather`` over the 'graph' mesh axis builds the boundary pool
+   (all-to-all exchange; Morton partitions keep the pool small);
+3. each device gathers its halo slots from the pool (``halo_map``) and runs
+   local gather -> tensor product -> segment-sum on the extended feature
+   array.
+
+XLA overlaps the all_gather with independent local compute where the schedule
+allows; the Pallas async-remote-copy overlap kernel (SURVEY.md §7 hard part 2)
+is the planned upgrade for explicit overlap.
+
+Gradients flow through the collective (all_gather transposes to psum_scatter),
+so the same code path serves fwd+bwd; the distributed train step psums grads
+across the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..models.segnn import SEGNN
+from ..ops.gather_scatter import segment_mean
+from ..core.spherical import spherical_harmonics
+from ..train.pipeline import TrainState
+from .partition import PartitionedGraph
+
+__all__ = ["exchange_halo", "make_dist_forward", "make_dist_train_step", "shard_partitioned"]
+
+
+def exchange_halo(
+    h_local: jnp.ndarray,  # [Np, F]
+    boundary_idx: jnp.ndarray,  # [H]
+    halo_map: jnp.ndarray,  # [H]
+    axis_name: str,
+) -> jnp.ndarray:
+    """Return extended features [Np + H, F]: local rows then filled halo slots."""
+    bound = jnp.take(h_local, boundary_idx, axis=0)  # [H, F] exports
+    pool = jax.lax.all_gather(bound, axis_name)  # [P, H, F]
+    pool = pool.reshape(-1, h_local.shape[-1])  # [P*H, F]
+    halo = jnp.take(pool, halo_map, axis=0)  # [H, F]
+    return jnp.concatenate([h_local, halo], axis=0)
+
+
+def _local_forward(model: SEGNN, params, shard, axis_name: str, velocities=None):
+    """Per-device SEGNN forward on one partition (runs inside shard_map)."""
+    nodes, pos_ext, senders, receivers, edge_mask, node_mask, boundary_idx, halo_map = shard
+    npp = nodes.shape[0]
+
+    # geometry: rel position of (sender_ext, receiver_local) pairs
+    s = jnp.minimum(senders, pos_ext.shape[0] - 1)
+    r = jnp.minimum(receivers, npp - 1)
+    rel = jnp.take(pos_ext, s, axis=0) - jnp.take(pos_ext, r, axis=0)
+    rel = jnp.where(edge_mask[:, None], rel, 0.0)
+    dist2 = jnp.sum(rel * rel, axis=-1)
+    edge_attr = spherical_harmonics(model.lmax_attr, rel)
+    edge_attr = jnp.where(edge_mask[:, None], edge_attr, 0.0)
+    node_attr = segment_mean(edge_attr, receivers, npp)
+    if model.vel_attr and velocities is not None:
+        node_attr = node_attr + spherical_harmonics(model.lmax_attr, velocities)
+    node_attr = node_attr.at[..., 0].set(1.0)
+
+    h = model.embed(params["embed"], nodes, node_attr)
+    h = jnp.where(node_mask[:, None], h, 0.0)
+    for i, layer in enumerate(model.layers):
+        h_ext = exchange_halo(h, boundary_idx, halo_map, axis_name)
+        h = layer.apply(
+            params[f"layer_{i}"], h, h_ext, senders, receivers,
+            edge_attr, node_attr, dist2, edge_mask, node_mask,
+        )
+    h = model.pre_head(params["pre_head"], h, node_attr)
+    out = model.head(params["head"], h)
+    return jnp.where(node_mask[:, None], out, 0.0)
+
+
+def _shard_args(part: PartitionedGraph):
+    return (
+        jnp.asarray(part.nodes),
+        jnp.asarray(part.positions_ext),
+        jnp.asarray(part.senders),
+        jnp.asarray(part.receivers),
+        jnp.asarray(part.edge_mask),
+        jnp.asarray(part.node_mask),
+        jnp.asarray(part.boundary_idx),
+        jnp.asarray(part.halo_map),
+    )
+
+
+def shard_partitioned(part: PartitionedGraph, mesh: Mesh, axis: str = "graph"):
+    """Device-put the stacked partition arrays, sharded over the mesh axis."""
+    args = _shard_args(part)
+    put = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    )
+    return tuple(put(x) for x in args)
+
+
+def make_dist_forward(model: SEGNN, mesh: Mesh, axis: str = "graph") -> Callable:
+    """jitted distributed forward: (params, *shard_args) -> [P, Np, F_out]."""
+    spec_data = P(axis)  # leading partition axis sharded; inside: squeezed block
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), (spec_data,) * 8),
+        out_specs=spec_data,
+        check_vma=False,
+    )
+    def fwd(params, shard):
+        shard = tuple(x[0] for x in shard)  # strip the partition axis block dim
+        out = _local_forward(model, params, shard, axis)
+        return out[None]
+
+    return jax.jit(fwd)
+
+
+def make_dist_train_step(
+    model: SEGNN,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "graph",
+    dp_axis: Optional[str] = None,
+) -> Callable:
+    """jitted distributed train step with replicated params + psum'd grads.
+
+    targets: [P, Np, F_out] sharded like the nodes; loss is a masked MSE over
+    real nodes, averaged globally (psum over the mesh).  With ``dp_axis`` the
+    data arrays carry an extra leading axis of independent clouds [D, P, ...]:
+    spatial partitioning over ``axis`` composes with data parallelism over
+    ``dp_axis`` (grads psum over both).
+    """
+    lead = (dp_axis, axis) if dp_axis else (axis,)
+    spec_data = P(*lead)
+
+    def local_loss(params, shard, target, denom):
+        # purely local computation: no collectives inside the differentiated
+        # function except the halo all_gather (whose transpose correctly
+        # scatter-accumulates halo cotangents back to owner devices); the
+        # global normalizer enters as a constant
+        out = _local_forward(model, params, shard, axis)
+        node_mask = shard[5]
+        err = jnp.where(node_mask[:, None], (out - target) ** 2, 0.0)
+        return err.sum() / denom
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), (spec_data,) * 8, spec_data),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(state, shard, target):
+        strip = (lambda x: x[0][0]) if dp_axis else (lambda x: x[0])
+        shard = tuple(strip(x) for x in shard)
+        target = strip(target)
+        node_mask = shard[5]
+        denom = jax.lax.psum(node_mask.sum(), lead) * target.shape[-1]
+        loss, grads = jax.value_and_grad(local_loss)(
+            state.params, shard, target, jnp.maximum(denom, 1).astype(target.dtype)
+        )
+        # per-device loss/grads are the partial sums -> global = psum
+        loss = jax.lax.psum(loss, lead)
+        grads = jax.lax.psum(grads, lead)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,))
