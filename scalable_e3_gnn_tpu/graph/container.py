@@ -11,15 +11,23 @@ TPU-first conventions (SURVEY.md §7 design stance):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import dataclasses
+from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["SteerableGraph"]
 
 
-class SteerableGraph(NamedTuple):
-    """A (batch of) graph(s) flattened into one node/edge address space."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SteerableGraph:
+    """A (batch of) graph(s) flattened into one node/edge address space.
+
+    Registered pytree: array fields are leaves; ``n_graphs`` is static
+    metadata so graphs pass through jit boundaries without tracing it (it
+    feeds static segment counts)."""
 
     nodes: jnp.ndarray  # [N_pad, F] steerable node features (flat irreps layout)
     positions: jnp.ndarray  # [N_pad, 3]
@@ -28,7 +36,10 @@ class SteerableGraph(NamedTuple):
     node_graph: jnp.ndarray  # [N_pad] graph id per node (pooling); padding = G
     node_mask: jnp.ndarray  # [N_pad] bool
     edge_mask: jnp.ndarray  # [E_pad] bool
-    n_graphs: int  # static number of graphs in the batch
+    n_graphs: int = dataclasses.field(metadata=dict(static=True))  # static batch size
+
+    def _replace(self, **kw) -> "SteerableGraph":
+        return dataclasses.replace(self, **kw)
 
     @property
     def num_nodes(self) -> int:
@@ -47,3 +58,59 @@ class SteerableGraph(NamedTuple):
         xr = jnp.take(self.positions, jnp.minimum(self.receivers, self.num_nodes - 1), axis=0)
         rel = xs - xr
         return jnp.where(self.edge_mask[:, None], rel, 0.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseEdgeGraph:
+    """Fixed-degree graph: exactly K neighbor slots per node ([N, K] arrays).
+
+    The radius builders emit exactly this structure (nearest-K with validity
+    mask), and it is the TPU-fast layout: aggregation is a dense masked sum
+    over the K axis (no scatter), and receiver-side features broadcast instead
+    of gathering.  Convert from a receiver-sorted fixed-K COO by reshaping.
+    """
+
+    nodes: jnp.ndarray  # [N, F]
+    positions: jnp.ndarray  # [N, 3]
+    senders: jnp.ndarray  # [N, K] int32; invalid slots clipped/ignored via mask
+    edge_mask: jnp.ndarray  # [N, K] bool
+    node_mask: jnp.ndarray  # [N] bool
+    node_graph: jnp.ndarray  # [N] graph id (pooling)
+    n_graphs: int = dataclasses.field(metadata=dict(static=True))
+
+    def _replace(self, **kw) -> "DenseEdgeGraph":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def max_neighbors(self) -> int:
+        return self.senders.shape[1]
+
+    @classmethod
+    def from_radius_edges(cls, nodes, positions, edges, n_graphs=1, node_graph=None, node_mask=None):
+        """Build from a RadiusEdges result (receiver-major fixed-K COO)."""
+        n = nodes.shape[0]
+        k = edges.senders.shape[0] // n
+        return cls(
+            nodes=nodes,
+            positions=positions,
+            senders=edges.senders.reshape(n, k),
+            edge_mask=edges.mask.reshape(n, k),
+            node_mask=node_mask if node_mask is not None else jnp.ones((n,), bool),
+            node_graph=node_graph
+            if node_graph is not None
+            else jnp.zeros((n,), jnp.int32),
+            n_graphs=n_graphs,
+        )
+
+    def rel_positions(self) -> jnp.ndarray:
+        """[N, K, 3]: x_s - x_r per slot; zero on invalid slots."""
+        xs = jnp.take(
+            self.positions, jnp.minimum(self.senders, self.num_nodes - 1), axis=0
+        )
+        rel = xs - self.positions[:, None, :]
+        return jnp.where(self.edge_mask[..., None], rel, 0.0)

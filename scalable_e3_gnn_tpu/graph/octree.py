@@ -39,7 +39,6 @@ class Octree(NamedTuple):
     points: jnp.ndarray  # [N, 3] sorted by Morton code
     order: jnp.ndarray  # [N] original index of sorted point i
     codes: jnp.ndarray  # [N] sorted Morton codes
-    num_levels: int  # static
     point_cell: Tuple[jnp.ndarray, ...]  # [L][N] dense cell rank per point
     cell_start: Tuple[jnp.ndarray, ...]  # [L][C_l] first sorted-point index
     cell_count: Tuple[jnp.ndarray, ...]  # [L][C_l] points in cell
@@ -50,6 +49,11 @@ class Octree(NamedTuple):
     @property
     def num_points(self) -> int:
         return self.points.shape[0]
+
+    @property
+    def num_levels(self) -> int:
+        # derived statically from the pytree structure (jit-safe)
+        return len(self.point_cell)
 
 
 def _level_cap(level: int, n: int) -> int:
@@ -128,7 +132,6 @@ def build_octree(
         points=pts_s,
         order=order.astype(jnp.int32),
         codes=codes_s,
-        num_levels=num_levels,
         point_cell=tuple(point_cell),
         cell_start=tuple(cell_start),
         cell_count=tuple(cell_count),

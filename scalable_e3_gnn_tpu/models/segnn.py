@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..core.irreps import Irreps
 from ..core.spherical import spherical_harmonics
-from ..graph.container import SteerableGraph
+from ..graph.container import DenseEdgeGraph, SteerableGraph
 from ..ops.gate import Gate
 from ..ops.gather_scatter import gather, segment_mean, segment_sum
 from ..ops.linear import O3Linear
@@ -33,14 +33,24 @@ from ..ops.tensor_product import L1TensorProduct, TensorProduct
 __all__ = ["O3TensorProductGate", "SEGNNLayer", "SEGNN"]
 
 
-def _make_tp(irreps_in: Irreps, irreps_attr: Irreps, irreps_out: Irreps):
+def _make_tp(
+    irreps_in: Irreps,
+    irreps_attr: Irreps,
+    irreps_out: Irreps,
+    layout_in: str = "mul",
+    layout_out: str = "mul",
+):
     """Pick the lmax=1 fast path when applicable, else the generic CG product."""
     if (
         irreps_in.lmax <= 1
         and irreps_out.lmax <= 1
         and repr(irreps_attr.regroup()) == "1x0e+1x1o"
     ):
-        return L1TensorProduct(irreps_in, irreps_out)
+        return L1TensorProduct(
+            irreps_in, irreps_out, layout_in1=layout_in, layout_out=layout_out
+        )
+    if layout_in != "mul" or layout_out != "mul":
+        raise ValueError("component-major layout requires the lmax=1 fast path")
     return TensorProduct(irreps_in, irreps_attr, irreps_out)
 
 
@@ -59,6 +69,8 @@ class O3TensorProductGate:
         irreps_out: Irreps,
         act: Callable = jax.nn.silu,
         gated: bool = True,
+        layout_in: str = "mul",
+        layout_out: str = "mul",
     ) -> None:
         self.irreps_in = Irreps(irreps_in)
         self.irreps_out = Irreps(irreps_out)
@@ -66,12 +78,15 @@ class O3TensorProductGate:
         if gated:
             scalars = Irreps([mi for mi in self.irreps_out if mi.ir.l == 0])
             non_scalars = Irreps([mi for mi in self.irreps_out if mi.ir.l > 0])
-            self.gate = Gate(scalars, non_scalars, act_scalars=act)
+            self.gate = Gate(scalars, non_scalars, act_scalars=act, layout=layout_out)
             tp_out = self.gate.irreps_in
         else:
             self.gate = None
             tp_out = self.irreps_out
-        self.tp = _make_tp(self.irreps_in, Irreps(irreps_attr), tp_out)
+        self.tp = _make_tp(
+            self.irreps_in, Irreps(irreps_attr), tp_out,
+            layout_in=layout_in, layout_out=layout_out,
+        )
 
     def init(self, key, dtype=jnp.float32):
         return self.tp.init(key, dtype=dtype)
@@ -97,12 +112,14 @@ class SEGNNLayer:
         num_message_layers: int = 2,
         num_update_layers: int = 2,
         remat: bool = False,
+        layout: str = "mul",
     ) -> None:
         # remat: rematerialize per-edge message intermediates in the backward
         # pass (jax.checkpoint) — at point-cloud scale the saved [E, F]
         # activations dominate HBM, and recomputing them is cheaper than
         # spilling (SURVEY.md §6: gather/scatter-bound, not MXU-bound)
         self.remat = remat
+        self.layout = layout
         h = Irreps(hidden_irreps)
         a = Irreps(attr_irreps)
         self.hidden_irreps = h
@@ -110,7 +127,9 @@ class SEGNNLayer:
         self.message_layers: List[O3TensorProductGate] = []
         cur = edge_in
         for _ in range(num_message_layers):
-            self.message_layers.append(O3TensorProductGate(cur, a, h, act=act))
+            self.message_layers.append(
+                O3TensorProductGate(cur, a, h, act=act, layout_in=layout, layout_out=layout)
+            )
             cur = h
         node_in = h + h
         self.update_layers: List[O3TensorProductGate] = []
@@ -118,7 +137,9 @@ class SEGNNLayer:
         for i in range(num_update_layers):
             gated = i < num_update_layers - 1
             self.update_layers.append(
-                O3TensorProductGate(cur, a, h, act=act, gated=gated)
+                O3TensorProductGate(
+                    cur, a, h, act=act, gated=gated, layout_in=layout, layout_out=layout
+                )
             )
             cur = h
 
@@ -176,6 +197,45 @@ class SEGNNLayer:
         h = h_local + u  # residual
         return jnp.where(node_mask[:, None], h, 0.0)
 
+    def apply_dense(
+        self,
+        params,
+        h_local: jnp.ndarray,  # [N, F]
+        h_ext: jnp.ndarray,  # [N_ext, F]
+        senders: jnp.ndarray,  # [N, K] indices into h_ext
+        edge_attr: jnp.ndarray,  # [N, K, A]
+        node_attr: jnp.ndarray,  # [N, A]
+        edge_dist2: jnp.ndarray,  # [N, K]
+        edge_mask: jnp.ndarray,  # [N, K]
+        node_mask: jnp.ndarray,  # [N]
+    ) -> jnp.ndarray:
+        """Fixed-degree variant: K neighbor slots per node.
+
+        Aggregation is a dense masked sum over the K axis — no scatter, and
+        the receiver-side features broadcast instead of gathering.  This is
+        the TPU-fast path; ``apply`` (COO + segment-sum) remains for
+        variable-degree graphs.
+        """
+        n, k = senders.shape
+
+        def messages_and_aggregate(msg_params, h_local_, h_ext_):
+            hs = jnp.take(h_ext_, jnp.minimum(senders, h_ext_.shape[0] - 1), axis=0)
+            hr = jnp.broadcast_to(h_local_[:, None, :], hs.shape)
+            m = jnp.concatenate([hs, hr, edge_dist2[..., None]], axis=-1)
+            for i, layer in enumerate(self.message_layers):
+                m = layer(msg_params[f"msg_{i}"], m, edge_attr)
+            m = jnp.where(edge_mask[..., None], m, 0.0)
+            return m.sum(axis=1)
+
+        if self.remat:
+            messages_and_aggregate = jax.checkpoint(messages_and_aggregate)
+        agg = messages_and_aggregate(params, h_local, h_ext)
+        u = jnp.concatenate([h_local, agg], axis=-1)
+        for i, layer in enumerate(self.update_layers):
+            u = layer(params[f"upd_{i}"], u, node_attr)
+        h = h_local + u
+        return jnp.where(node_mask[:, None], h, 0.0)
+
     def __call__(
         self,
         params,
@@ -218,6 +278,7 @@ class SEGNN:
         task: str = "node",  # "node" | "graph"
         vel_attr: bool = False,
         remat: bool = False,
+        layout: Optional[str] = None,
     ) -> None:
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
@@ -227,17 +288,36 @@ class SEGNN:
         self.task = task
         self.vel_attr = vel_attr
 
+        # internal feature layout: component-major ('cm') keeps the TPU vector
+        # lanes running over channels instead of 3-vectors (~40x lane
+        # occupancy for l=1 blocks); only available on the lmax=1 fast path.
+        if layout is None:
+            layout = (
+                "cm"
+                if self.hidden_irreps.lmax <= 1 and lmax_attr == 1
+                else "mul"
+            )
+        self.layout = layout
+
         self.embed = O3TensorProductGate(
-            self.input_irreps, self.attr_irreps, self.hidden_irreps, act=act, gated=False
+            self.input_irreps, self.attr_irreps, self.hidden_irreps, act=act,
+            gated=False, layout_in="mul", layout_out=layout,
         )
         self.layers = [
-            SEGNNLayer(self.hidden_irreps, self.attr_irreps, act=act, remat=remat)
+            SEGNNLayer(
+                self.hidden_irreps, self.attr_irreps, act=act, remat=remat,
+                layout=layout,
+            )
             for _ in range(num_layers)
         ]
         self.pre_head = O3TensorProductGate(
-            self.hidden_irreps, self.attr_irreps, self.hidden_irreps, act=act
+            self.hidden_irreps, self.attr_irreps, self.hidden_irreps, act=act,
+            layout_in=layout, layout_out=layout,
         )
-        self.head = O3Linear(self.hidden_irreps, self.output_irreps, bias=True)
+        self.head = O3Linear(
+            self.hidden_irreps, self.output_irreps, bias=True,
+            layout_in=layout, layout_out="mul",
+        )
 
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, len(self.layers) + 3)
@@ -267,13 +347,65 @@ class SEGNN:
         node_attr = node_attr.at[..., 0].set(1.0)
         return edge_attr, node_attr, dist2
 
+    def compute_attributes_dense(
+        self, graph: DenseEdgeGraph, velocities: Optional[jnp.ndarray] = None
+    ):
+        """Dense-K variant of compute_attributes: [N, K, ...] edge arrays."""
+        rel = graph.rel_positions()  # [N, K, 3]
+        dist2 = jnp.sum(rel * rel, axis=-1)
+        edge_attr = spherical_harmonics(self.lmax_attr, rel)
+        edge_attr = jnp.where(graph.edge_mask[..., None], edge_attr, 0.0)
+        cnt = jnp.maximum(graph.edge_mask.sum(axis=1), 1)
+        node_attr = edge_attr.sum(axis=1) / cnt[:, None].astype(edge_attr.dtype)
+        if self.vel_attr and velocities is not None:
+            node_attr = node_attr + spherical_harmonics(self.lmax_attr, velocities)
+        node_attr = node_attr.at[..., 0].set(1.0)
+        return edge_attr, node_attr, dist2
+
+    def _forward_dense(
+        self,
+        params,
+        graph: DenseEdgeGraph,
+        velocities: Optional[jnp.ndarray] = None,
+        attrs: Optional[tuple] = None,
+    ) -> jnp.ndarray:
+        if attrs is not None:
+            edge_attr, node_attr, dist2 = attrs
+        else:
+            edge_attr, node_attr, dist2 = self.compute_attributes_dense(
+                graph, velocities
+            )
+        h = self.embed(params["embed"], graph.nodes, node_attr)
+        for i, layer in enumerate(self.layers):
+            h = layer.apply_dense(
+                params[f"layer_{i}"], h, h, graph.senders, edge_attr, node_attr,
+                dist2, graph.edge_mask, graph.node_mask,
+            )
+        h = self.pre_head(params["pre_head"], h, node_attr)
+        out = self.head(params["head"], h)
+        if self.task == "graph":
+            out = jnp.where(graph.node_mask[:, None], out, 0.0)
+            out = segment_sum(out, graph.node_graph, graph.n_graphs)
+        return out
+
     def __call__(
         self,
         params,
-        graph: SteerableGraph,
+        graph,
         velocities: Optional[jnp.ndarray] = None,
+        attrs: Optional[tuple] = None,
     ) -> jnp.ndarray:
-        edge_attr, node_attr, dist2 = self.compute_attributes(graph, velocities)
+        """``attrs``: optional precomputed (edge_attr, node_attr, dist2) —
+        they depend only on the graph geometry, so computing them once per
+        graph instead of per step removes the sh embedding (and its HBM
+        traffic) from the training hot loop entirely.  Accepts either a COO
+        ``SteerableGraph`` or a fixed-degree ``DenseEdgeGraph``."""
+        if isinstance(graph, DenseEdgeGraph):
+            return self._forward_dense(params, graph, velocities, attrs)
+        if attrs is not None:
+            edge_attr, node_attr, dist2 = attrs
+        else:
+            edge_attr, node_attr, dist2 = self.compute_attributes(graph, velocities)
         h = self.embed(params["embed"], graph.nodes, node_attr)
         g = graph.replace_nodes(h)
         for i, layer in enumerate(self.layers):

@@ -38,7 +38,12 @@ class Gate:
         irreps_gated: Irreps,
         act_scalars: Callable = jax.nn.silu,
         act_gates: Callable = jax.nn.sigmoid,
+        layout: str = "mul",
     ) -> None:
+        # 'mul' = e3nn flat convention; 'cm' = component-major (TPU-fast):
+        # each gated group stored [2l+1, mul] row-major so the gate multiply
+        # broadcasts over lanes
+        self.layout = layout
         self.irreps_scalars = Irreps(irreps_scalars)
         self.irreps_gated = Irreps(irreps_gated)
         if any(mi.ir.l == 0 for mi in self.irreps_gated):
@@ -69,8 +74,13 @@ class Gate:
             gi = 0
             off = 0
             for mul, d in self._gated_shapes:
-                blk = gated[..., off : off + mul * d].reshape(x.shape[:-1] + (mul, d))
-                blk = blk * g[..., gi : gi + mul, None]
+                blk = gated[..., off : off + mul * d]
+                if self.layout == "cm":
+                    blk = blk.reshape(x.shape[:-1] + (d, mul))
+                    blk = blk * g[..., None, gi : gi + mul]
+                else:
+                    blk = blk.reshape(x.shape[:-1] + (mul, d))
+                    blk = blk * g[..., gi : gi + mul, None]
                 out.append(blk.reshape(x.shape[:-1] + (mul * d,)))
                 gi += mul
                 off += mul * d

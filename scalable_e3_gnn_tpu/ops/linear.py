@@ -23,7 +23,16 @@ __all__ = ["O3Linear", "O3LayerNorm"]
 class O3Linear:
     """Per-irrep multiplicity mixing: out_ir = x_ir @ W_ir / sqrt(mul_in)."""
 
-    def __init__(self, irreps_in: Irreps, irreps_out: Irreps, bias: bool = True) -> None:
+    def __init__(
+        self,
+        irreps_in: Irreps,
+        irreps_out: Irreps,
+        bias: bool = True,
+        layout_in: str = "mul",
+        layout_out: str = "mul",
+    ) -> None:
+        self.layout_in = layout_in
+        self.layout_out = layout_out
         self.irreps_in = Irreps(irreps_in).regroup()
         self.irreps_out = Irreps(irreps_out).regroup()
         self.in_dim = self.irreps_in.dim
@@ -52,13 +61,25 @@ class O3Linear:
         out = jnp.zeros(lead + (self.out_dim,), dtype=x.dtype)
         for ir, sl_in, mul_in, sl_out, mul_out in self._maps:
             d = ir.dim
-            blk = x[..., sl_in].reshape(lead + (mul_in, d))
             w = params[f"w_{ir}"] / math.sqrt(mul_in)
-            res = jnp.einsum(
-                "...ud,uw->...wd", blk, w, preferred_element_type=jnp.float32
-            ).astype(x.dtype)
+            if d == 1 or self.layout_in == "cm":
+                blk = x[..., sl_in].reshape(lead + (d, mul_in))
+                res = jnp.einsum(
+                    "...du,uw->...dw", blk, w, preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+            else:
+                blk = x[..., sl_in].reshape(lead + (mul_in, d))
+                res = jnp.swapaxes(
+                    jnp.einsum(
+                        "...ud,uw->...wd", blk, w, preferred_element_type=jnp.float32
+                    ).astype(x.dtype),
+                    -1,
+                    -2,
+                )  # -> [..., d, mul_out]
             if ir == Irrep(0, 1) and "b_0e" in params:
-                res = res + params[f"b_0e"][..., :, None].astype(x.dtype)
+                res = res + params[f"b_0e"][..., None, :].astype(x.dtype)
+            if d > 1 and self.layout_out == "mul":
+                res = jnp.swapaxes(res, -1, -2)
             out = out.at[..., sl_out].set(res.reshape(lead + (mul_out * d,)))
         return out
 

@@ -43,37 +43,67 @@ CG011 = 1.0 / math.sqrt(3.0)  # l0·l1 -> l1 scale      (l1_tensor_prod.py:93)
 CG111 = 1.0 / math.sqrt(6.0)  # l1×l1 -> l1 cross      (l1_tensor_prod.py:94)
 
 
-def _block_indices(irreps: Irreps) -> Dict[Tuple[int, int], np.ndarray]:
-    """Flat feature indices of each (l, p) block, in spec order.
+def _block_groups(irreps: Irreps) -> Dict[Tuple[int, int], List[Tuple[int, int]]]:
+    """Per-(l, p) list of (flat_start, mul) groups in spec order.
 
-    Equivalent of the reference's boolean masks (l1_tensor_prod.py:24-65) but
-    as static integer index arrays usable with jnp.take; for regrouped specs
-    these are contiguous ranges and XLA lowers the takes to slices.
+    Equivalent of the reference's boolean masks (l1_tensor_prod.py:24-65) as
+    static slice descriptors — blocks become XLA static slices, not gathers.
     """
-    out: Dict[Tuple[int, int], List[int]] = {}
+    out: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
     i = 0
     for mi in irreps:
-        key = (mi.ir.l, mi.ir.p)
-        out.setdefault(key, []).extend(range(i, i + mi.dim))
+        out.setdefault((mi.ir.l, mi.ir.p), []).append((i, mi.mul))
         i += mi.dim
-    return {k: np.asarray(v, dtype=np.int32) for k, v in out.items()}
+    return out
 
 
-def _take(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
-    if idx.size == 0:
+def _extract_scalars(x, groups):
+    parts = [x[..., st : st + m] for st, m in groups]
+    if not parts:
         return x[..., :0]
-    # contiguous static range -> plain slice (cheapest for XLA)
-    if idx.size == idx[-1] - idx[0] + 1:
-        return x[..., int(idx[0]) : int(idx[-1]) + 1]
-    return jnp.take(x, jnp.asarray(idx), axis=-1)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
-def _cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Cross product over the trailing axis (cyclic in the (y,z,x) basis)."""
-    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
-    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+def _extract_vectors(x, groups, layout):
+    """-> [..., 3, M] component-major block (lane axis = multiplicity).
+
+    'mul' flat layout stores each group mul-major ([m, 3] row-major, the
+    e3nn/reference convention, l1_tensor_prod.py:35); 'cm' stores it
+    component-major ([3, m] row-major) — the TPU-native internal layout where
+    the 128-wide vector lanes run over channels instead of the 3-vector.
+    """
+    lead = x.shape[:-1]
+    parts = []
+    for st, m in groups:
+        blk = x[..., st : st + 3 * m]
+        if layout == "mul":
+            blk = jnp.swapaxes(blk.reshape(lead + (m, 3)), -1, -2)
+        else:
+            blk = blk.reshape(lead + (3, m))
+        parts.append(blk)
+    if not parts:
+        return x[..., :0].reshape(lead + (3, 0))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def _cross_cm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cross product, component-major: a [..., 3, M], b [..., 3, 1] -> [..., 3, M].
+
+    Cyclic in the (y,z,x) basis, so the usual index arithmetic applies.
+    """
+    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
     return jnp.stack(
-        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-1
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-2
+    )
+
+
+def _dot_cm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Channelwise dot: a [..., 3, M], b [..., 3, 1] -> [..., M] (lane-wide)."""
+    return (
+        a[..., 0, :] * b[..., 0, :]
+        + a[..., 1, :] * b[..., 1, :]
+        + a[..., 2, :] * b[..., 2, :]
     )
 
 
@@ -101,7 +131,15 @@ class L1TensorProduct:
         in1_var: Optional[List[float]] = None,
         in2_var: Optional[List[float]] = None,
         out_var: Optional[List[float]] = None,
+        layout_in1: str = "mul",
+        layout_out: str = "mul",
     ) -> None:
+        # layouts: 'mul' = e3nn/reference flat convention (parity, I/O);
+        # 'cm' = component-major internal layout (TPU lane-efficient).
+        if layout_in1 not in ("mul", "cm") or layout_out not in ("mul", "cm"):
+            raise ValueError("layouts must be 'mul' or 'cm'")
+        self.layout_in1 = layout_in1
+        self.layout_out = layout_out
         in1_irreps = Irreps(in1_irreps)
         out_irreps = Irreps(out_irreps) if out_irreps is not None else in1_irreps
         if in1_irreps.lmax > 1 or out_irreps.lmax > 1:
@@ -123,26 +161,17 @@ class L1TensorProduct:
         self.in2_dim = 4
         self.out_dim = out_irreps.dim
 
-        i1 = _block_indices(in1_irreps)
-        io = _block_indices(out_irreps)
-        z = np.zeros((0,), np.int32)
-        self._i1_l0e = i1.get((0, 1), z)
-        self._i1_l0o = i1.get((0, -1), z)
-        self._i1_l1e = i1.get((1, 1), z)
-        self._i1_l1o = i1.get((1, -1), z)
-        self._io_l0e = io.get((0, 1), z)
-        self._io_l0o = io.get((0, -1), z)
-        self._io_l1e = io.get((1, 1), z)
-        self._io_l1o = io.get((1, -1), z)
-
-        self.num_i1_l0e = int(self._i1_l0e.size)
-        self.num_i1_l0o = int(self._i1_l0o.size)
-        self.num_i1_l1e = int(self._i1_l1e.size) // 3
-        self.num_i1_l1o = int(self._i1_l1o.size) // 3
-        self.dim_o_l0e = int(self._io_l0e.size)
-        self.dim_o_l0o = int(self._io_l0o.size)
-        self.dim_o_l1e = int(self._io_l1e.size)
-        self.dim_o_l1o = int(self._io_l1o.size)
+        self._g1 = _block_groups(in1_irreps)
+        self._go = _block_groups(out_irreps)
+        nmul = lambda g, k: sum(m for _, m in g.get(k, []))
+        self.num_i1_l0e = nmul(self._g1, (0, 1))
+        self.num_i1_l0o = nmul(self._g1, (0, -1))
+        self.num_i1_l1e = nmul(self._g1, (1, 1))
+        self.num_i1_l1o = nmul(self._g1, (1, -1))
+        self.dim_o_l0e = nmul(self._go, (0, 1))
+        self.dim_o_l0o = nmul(self._go, (0, -1))
+        self.dim_o_l1e = 3 * nmul(self._go, (1, 1))
+        self.dim_o_l1o = 3 * nmul(self._go, (1, -1))
 
         # weight shapes: rows = path features in forward concat order, cols =
         # output multiplicities (l1_tensor_prod.py:81-88)
@@ -228,6 +257,12 @@ class L1TensorProduct:
             col_offs[key] += mir_out.mul
 
         self._norm = {k: v for k, v in norm.items()}
+        # per-multiplicity norms for the component-major l=1 blocks (the
+        # per-dim arrays repeat each value over the 3 components)
+        self._norm_mul = {
+            k: (norm[k].reshape(-1, 3)[:, 0] if norm[k].size else norm[k])
+            for k in ("l1e", "l1o")
+        }
         self._wi_cols = wi_cols
 
     # ---- params ----
@@ -260,74 +295,73 @@ class L1TensorProduct:
             raise ValueError(f"in2 last dim {in2.shape[-1]} != {self.in2_dim}")
 
         dt = in1.dtype
-        x0e = _take(in1, self._i1_l0e)
-        x0o = _take(in1, self._i1_l0o)
-        x1e = _take(in1, self._i1_l1e).reshape(in1.shape[:-1] + (self.num_i1_l1e, 3))
-        x1o = _take(in1, self._i1_l1o).reshape(in1.shape[:-1] + (self.num_i1_l1o, 3))
+        lead = in1.shape[:-1]
+        lay = self.layout_in1
+        x0e = _extract_scalars(in1, self._g1.get((0, 1), []))
+        x0o = _extract_scalars(in1, self._g1.get((0, -1), []))
+        x1e = _extract_vectors(in1, self._g1.get((1, 1), []), lay)  # [..., 3, M]
+        x1o = _extract_vectors(in1, self._g1.get((1, -1), []), lay)
         s = in2[..., 0:1]
-        v = in2[..., 1:4]
+        v = in2[..., 1:4][..., :, None]  # [..., 3, 1]
 
         blocks = {}
         if self.dim_o_l0e > 0:
             feats = [x0e * s]
             if self.num_i1_l1o > 0:
-                feats.append(CG110 * jnp.einsum("...mc,...c->...m", x1o, v))
-            f = jnp.concatenate(feats, axis=-1)
+                feats.append(CG110 * _dot_cm(x1o, v))
+            f = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
             res = jnp.matmul(f, params["w_l0e"], preferred_element_type=jnp.float32)
             blocks[(0, 1)] = (res * jnp.asarray(self._norm["l0e"], dt)).astype(dt)
         if self.dim_o_l0o > 0:
             feats = [x0o * s]
             if self.num_i1_l1e > 0:
-                feats.append(CG110 * jnp.einsum("...mc,...c->...m", x1e, v))
-            f = jnp.concatenate(feats, axis=-1)
+                feats.append(CG110 * _dot_cm(x1e, v))
+            f = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
             res = jnp.matmul(f, params["w_l0o"], preferred_element_type=jnp.float32)
             blocks[(0, -1)] = (res * jnp.asarray(self._norm["l0o"], dt)).astype(dt)
         if self.dim_o_l1e > 0:
-            feats = [CG011 * x0o[..., :, None] * v[..., None, :]]
+            feats = [CG011 * x0o[..., None, :] * v]  # [..., 3, n0o]
             if self.num_i1_l1e > 0:
                 feats.append(CG011 * x1e * s[..., None])
             if self.num_i1_l1o > 0:
-                feats.append(CG111 * _cross(x1o, v[..., None, :]))
-            f = jnp.concatenate(feats, axis=-2)  # [..., P, 3]
+                feats.append(CG111 * _cross_cm(x1o, v))
+            f = jnp.concatenate(feats, axis=-1)  # [..., 3, P]
             res = jnp.einsum(
-                "...pc,pm->...mc", f, params["w_l1e"],
+                "...cp,pm->...cm", f, params["w_l1e"],
                 preferred_element_type=jnp.float32,
-            ).reshape(in1.shape[:-1] + (self.dim_o_l1e,))
-            blocks[(1, 1)] = (res * jnp.asarray(self._norm["l1e"], dt)).astype(dt)
+            )
+            blocks[(1, 1)] = (res * jnp.asarray(self._norm_mul["l1e"], dt)).astype(dt)
         if self.dim_o_l1o > 0:
-            feats = [CG011 * x0e[..., :, None] * v[..., None, :]]
+            feats = [CG011 * x0e[..., None, :] * v]
             if self.num_i1_l1o > 0:
                 feats.append(CG011 * x1o * s[..., None])
             if self.num_i1_l1e > 0:
-                feats.append(CG111 * _cross(x1e, v[..., None, :]))
-            f = jnp.concatenate(feats, axis=-2)
+                feats.append(CG111 * _cross_cm(x1e, v))
+            f = jnp.concatenate(feats, axis=-1)
             res = jnp.einsum(
-                "...pc,pm->...mc", f, params["w_l1o"],
+                "...cp,pm->...cm", f, params["w_l1o"],
                 preferred_element_type=jnp.float32,
-            ).reshape(in1.shape[:-1] + (self.dim_o_l1o,))
-            blocks[(1, -1)] = (res * jnp.asarray(self._norm["l1o"], dt)).astype(dt)
+            )
+            blocks[(1, -1)] = (res * jnp.asarray(self._norm_mul["l1o"], dt)).astype(dt)
 
-        return self._assemble(blocks, in1.shape[:-1], dt)
-
-    def _assemble(self, blocks, lead, dt) -> jnp.ndarray:
-        """Scatter (l,p) blocks back to the flat spec-order layout."""
-        idx_order = []
-        parts = []
-        for key, idx in (
-            ((0, 1), self._io_l0e),
-            ((0, -1), self._io_l0o),
-            ((1, 1), self._io_l1e),
-            ((1, -1), self._io_l1o),
-        ):
-            if idx.size:
-                idx_order.append(idx)
-                parts.append(blocks[key])
-        concat = jnp.concatenate(parts, axis=-1)
-        perm = np.concatenate(idx_order)
-        if np.array_equal(perm, np.arange(self.out_dim)):
-            return concat
-        inv = np.argsort(perm, kind="stable")
-        return jnp.take(concat, jnp.asarray(inv), axis=-1)
+        # assemble flat output in spec order
+        taken: Dict[Tuple[int, int], int] = {}
+        pieces = []
+        for mi in self.irreps_out:
+            key = (mi.ir.l, mi.ir.p)
+            t = taken.get(key, 0)
+            if key not in blocks:  # no contributing path (quirk Q3 contract)
+                pieces.append(jnp.zeros(lead + (mi.dim,), dt))
+                continue
+            if mi.ir.l == 0:
+                pieces.append(blocks[key][..., t : t + mi.mul])
+            else:
+                blk = blocks[key][..., :, t : t + mi.mul]  # [..., 3, m]
+                if self.layout_out == "mul":
+                    blk = jnp.swapaxes(blk, -1, -2)
+                pieces.append(blk.reshape(lead + (3 * mi.mul,)))
+            taken[key] = t + mi.mul
+        return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
 
 
 class TensorProduct:
