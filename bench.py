@@ -42,6 +42,7 @@ MAX_NEIGHBORS = 24
 LO, HI = (0.0,) * 3, (1.0,) * 3
 HIDDEN = "32x0e+16x1o"
 NUM_LAYERS = 4
+BF16 = True  # bf16 storage/compute with fp32 param master + fp32 accumulation
 
 
 def _timed(fn, *args, iters=3):
@@ -77,7 +78,7 @@ def main():
 
     model = SEGNN(
         Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"), num_layers=NUM_LAYERS,
-        remat=True,
+        remat=True, layout="cm", use_pallas=True,
     )
     params = model.init(jax.random.key(0))
     opt = optax.adam(1e-3)
@@ -85,8 +86,18 @@ def main():
     attrs = jax.jit(model.compute_attributes_dense)(graph)
     jax.block_until_ready(attrs)
 
+    if BF16:
+        bf = jnp.bfloat16
+        graph = graph._replace(nodes=graph.nodes.astype(bf))
+        attrs = jax.tree.map(
+            lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, attrs
+        )
+
     def loss_fn(p, g, a, t):
-        return mse_loss(model(p, g, attrs=a), t)
+        if BF16:
+            p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+        out = model(p, g, attrs=a).astype(jnp.float32)
+        return mse_loss(out, t)
 
     step = make_train_step(loss_fn, opt, donate=False)
     state = make_train_state(params, opt)

@@ -113,6 +113,7 @@ class SEGNNLayer:
         num_update_layers: int = 2,
         remat: bool = False,
         layout: str = "mul",
+        use_pallas: bool = False,
     ) -> None:
         # remat: rematerialize per-edge message intermediates in the backward
         # pass (jax.checkpoint) — at point-cloud scale the saved [E, F]
@@ -121,6 +122,20 @@ class SEGNNLayer:
         self.remat = remat
         self.layout = layout
         h = Irreps(hidden_irreps)
+        # fused Pallas message kernel eligibility (kernels/fused_message.py):
+        # cm layout, 2 gated message layers, hidden = Hs x0e + Hv x1o
+        hr = h.regroup()
+        self.use_pallas = (
+            use_pallas
+            and layout == "cm"
+            and num_message_layers == 2
+            and act is jax.nn.silu  # the kernel hardcodes silu/sigmoid
+            and len(hr) == 2
+            and repr(hr[0].ir) == "0e"
+            and repr(hr[1].ir) == "1o"
+        )
+        self._pallas_hs = hr[0].mul if self.use_pallas else 0
+        self._pallas_hv = hr[1].mul if self.use_pallas else 0
         a = Irreps(attr_irreps)
         self.hidden_irreps = h
         edge_in = h + h + Irreps("1x0e")  # h_s ‖ h_r ‖ dist²
@@ -218,23 +233,79 @@ class SEGNNLayer:
         """
         n, k = senders.shape
 
-        def messages_and_aggregate(msg_params, h_local_, h_ext_):
-            hs = jnp.take(h_ext_, jnp.minimum(senders, h_ext_.shape[0] - 1), axis=0)
-            hr = jnp.broadcast_to(h_local_[:, None, :], hs.shape)
-            m = jnp.concatenate([hs, hr, edge_dist2[..., None]], axis=-1)
-            for i, layer in enumerate(self.message_layers):
-                m = layer(msg_params[f"msg_{i}"], m, edge_attr)
-            m = jnp.where(edge_mask[..., None], m, 0.0)
-            return m.sum(axis=1)
+        if self.use_pallas:
+            agg = self._fused_messages(
+                params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask
+            )
+        else:
 
-        if self.remat:
-            messages_and_aggregate = jax.checkpoint(messages_and_aggregate)
-        agg = messages_and_aggregate(params, h_local, h_ext)
+            def messages_and_aggregate(msg_params, h_local_, h_ext_):
+                hs = jnp.take(
+                    h_ext_, jnp.minimum(senders, h_ext_.shape[0] - 1), axis=0
+                )
+                hr = jnp.broadcast_to(h_local_[:, None, :], hs.shape)
+                m = jnp.concatenate([hs, hr, edge_dist2[..., None]], axis=-1)
+                for i, layer in enumerate(self.message_layers):
+                    m = layer(msg_params[f"msg_{i}"], m, edge_attr)
+                m = jnp.where(edge_mask[..., None], m, 0.0)
+                return m.sum(axis=1)
+
+            if self.remat:
+                messages_and_aggregate = jax.checkpoint(messages_and_aggregate)
+            agg = messages_and_aggregate(params, h_local, h_ext)
         u = jnp.concatenate([h_local, agg], axis=-1)
         for i, layer in enumerate(self.update_layers):
             u = layer(params[f"upd_{i}"], u, node_attr)
         h = h_local + u
         return jnp.where(node_mask[:, None], h, 0.0)
+
+    def _fused_messages(
+        self, params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask
+    ):
+        """Dispatch the message MLP + aggregation to the Pallas fused kernel."""
+        from ..kernels.fused_message import MessageConfig, fused_message_aggregate
+
+        n, k = senders.shape
+        f = h_local.shape[-1]
+        tile = 64
+        npad = -(-n // tile) * tile
+        cfg = MessageConfig(hs=self._pallas_hs, hv=self._pallas_hv, k=k, tile=tile)
+
+        hs = jnp.take(h_ext, jnp.minimum(senders, h_ext.shape[0] - 1), axis=0)
+        hs = hs.reshape(n * k, f)
+        attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
+        # d2/mask flattened to [N*K, 1] outside the kernel (Mosaic cannot
+        # reshape lane dims into sublanes in-kernel)
+        maskf = edge_mask.astype(h_local.dtype).reshape(n * k, 1)
+        d2 = edge_dist2.reshape(n * k, 1)
+        if npad != n:
+            pe = (npad - n) * k
+            hs = jnp.concatenate([hs, jnp.zeros((pe, f), hs.dtype)])
+            attr = jnp.concatenate([attr, jnp.zeros((pe, attr.shape[-1]), attr.dtype)])
+            h_local_p = jnp.concatenate(
+                [h_local, jnp.zeros((npad - n, f), h_local.dtype)]
+            )
+            d2 = jnp.concatenate([d2, jnp.zeros((pe, 1), d2.dtype)])
+            maskf = jnp.concatenate([maskf, jnp.zeros((pe, 1), maskf.dtype)])
+        else:
+            h_local_p = h_local
+
+        # fold per-column norm constants into the weights
+        def folded(i):
+            tp = self.message_layers[i].tp
+            p = params[f"msg_{i}"]
+            dtp = h_local.dtype
+            n0 = jnp.asarray(tp._norm["l0e"], dtp)
+            n1 = jnp.asarray(tp._norm_mul["l1o"], dtp)
+            return (p["w_l0e"].astype(dtp) * n0[None, :],
+                    p["w_l1o"].astype(dtp) * n1[None, :])
+
+        w0e1, w1o1 = folded(0)
+        w0e2, w1o2 = folded(1)
+        agg = fused_message_aggregate(
+            cfg, hs, h_local_p, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2
+        )
+        return agg[:n]
 
     def __call__(
         self,
@@ -279,6 +350,7 @@ class SEGNN:
         vel_attr: bool = False,
         remat: bool = False,
         layout: Optional[str] = None,
+        use_pallas: bool = False,
     ) -> None:
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
@@ -306,7 +378,7 @@ class SEGNN:
         self.layers = [
             SEGNNLayer(
                 self.hidden_irreps, self.attr_irreps, act=act, remat=remat,
-                layout=layout,
+                layout=layout, use_pallas=use_pallas,
             )
             for _ in range(num_layers)
         ]

@@ -1,0 +1,89 @@
+"""Fused Pallas message kernel vs the jnp path (interpreter mode on CPU).
+
+Covers forward equality, the hand-written backward (input + weight grads),
+non-multiple-of-tile N padding, and masked-slot handling.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from scalable_e3_gnn_tpu.core.irreps import Irreps
+from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
+from scalable_e3_gnn_tpu.graph.octree import build_octree
+from scalable_e3_gnn_tpu.graph.radius import radius_graph_brute
+from scalable_e3_gnn_tpu.models.segnn import SEGNN
+
+LO, HI = (-4.0,) * 3, (4.0,) * 3
+
+
+def _models(n_layers=2, hidden="16x0e+8x1o"):
+    kw = dict(num_layers=n_layers, layout="cm")
+    a = SEGNN(Irreps("2x0e+1x1o"), Irreps(hidden), Irreps("1x1o"), **kw)
+    b = SEGNN(
+        Irreps("2x0e+1x1o"), Irreps(hidden), Irreps("1x1o"), use_pallas=True, **kw
+    )
+    assert b.layers[0].use_pallas
+    return a, b
+
+
+def _graph(n, seed=0, k=8):
+    rng = np.random.default_rng(seed)
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tree = build_octree(jnp.asarray(pts), LO, HI, num_levels=4)
+    e = radius_graph_brute(tree.points, 0.7, max_neighbors=k)
+    feats = jnp.asarray(rng.standard_normal((n, 5)), jnp.float32)
+    return DenseEdgeGraph.from_radius_edges(feats, tree.points, e)
+
+
+@pytest.mark.parametrize("n", [128, 200])  # 200: not a multiple of the tile
+def test_fused_forward_matches(n):
+    m_ref, m_pal = _models()
+    g = _graph(n)
+    params = m_ref.init(jax.random.key(0))
+    ref = np.array(m_ref(params, g))
+    with pltpu.force_tpu_interpret_mode():
+        pal = np.array(m_pal(params, g))
+    np.testing.assert_allclose(pal, ref, atol=2e-5)
+
+
+def test_fused_gradients_match():
+    m_ref, m_pal = _models()
+    g = _graph(128, seed=1)
+    params = m_ref.init(jax.random.key(1))
+    tgt = jnp.asarray(np.random.default_rng(2).standard_normal((128, 3)), jnp.float32)
+
+    def loss(model):
+        return lambda p: ((model(p, g) - tgt) ** 2).mean()
+
+    g_ref = jax.grad(loss(m_ref))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss(m_pal))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)
+
+
+def test_fused_respects_mask():
+    """Invalid neighbor slots must not contribute (compare vs fewer edges)."""
+    m_ref, m_pal = _models(n_layers=1)
+    g = _graph(128, seed=3)
+    params = m_ref.init(jax.random.key(2))
+    # zero out half the valid slots in both paths -> outputs must still agree
+    mask2 = np.array(g.edge_mask)
+    mask2[:, ::2] = False
+    g2 = g._replace(edge_mask=jnp.asarray(mask2))
+    ref = np.array(m_ref(params, g2))
+    with pltpu.force_tpu_interpret_mode():
+        pal = np.array(m_pal(params, g2))
+    np.testing.assert_allclose(pal, ref, atol=2e-5)
+
+
+def test_ineligible_configs_fall_back():
+    m = SEGNN(
+        Irreps("2x0e+1x1o"), Irreps("8x0e+4x1o+2x1e"), Irreps("1x1o"),
+        num_layers=1, layout="mul", use_pallas=True,
+    )
+    assert not m.layers[0].use_pallas  # 1e in hidden + mul layout -> jnp path
