@@ -64,6 +64,12 @@ def main():
     )
     tree, octree_s = _timed(build, jnp.asarray(pts))
 
+    # headline octree metric: build time at 10M points (BASELINE.md)
+    pts10m = rng.random((10_000_000, 3)).astype(np.float32)
+    build10 = jax.jit(lambda p: build_octree(p, LO, HI, num_levels=8))
+    _, octree10m_s = _timed(build10, jnp.asarray(pts10m), iters=1)
+    del pts10m
+
     rg = jax.jit(
         lambda t: radius_graph_cell(
             t, RADIUS, LO, HI, max_neighbors=MAX_NEIGHBORS, cell_capacity=64
@@ -121,6 +127,7 @@ def main():
                     "step_ms": round(step_s * 1e3, 2),
                     "fwd_ms": round(fwd_s * 1e3, 2),
                     "octree_build_ms_100k": round(octree_s * 1e3, 2),
+                    "octree_build_ms_10m": round(octree10m_s * 1e3, 1),
                     "radius_graph_ms_100k": round(radius_s * 1e3, 2),
                     "hidden": HIDDEN,
                     "layers": NUM_LAYERS,

@@ -49,9 +49,10 @@ def _make_tp(
         return L1TensorProduct(
             irreps_in, irreps_out, layout_in1=layout_in, layout_out=layout_out
         )
-    if layout_in != "mul" or layout_out != "mul":
-        raise ValueError("component-major layout requires the lmax=1 fast path")
-    return TensorProduct(irreps_in, irreps_attr, irreps_out)
+    return TensorProduct(
+        irreps_in, irreps_attr, irreps_out,
+        layout_in1=layout_in, layout_out=layout_out,
+    )
 
 
 class O3TensorProductGate:
@@ -114,7 +115,9 @@ class SEGNNLayer:
         remat: bool = False,
         layout: str = "mul",
         use_pallas: bool = False,
+        edge_chunks: int = 1,
     ) -> None:
+        self.edge_chunks = max(1, edge_chunks)
         # remat: rematerialize per-edge message intermediates in the backward
         # pass (jax.checkpoint) — at point-cloud scale the saved [E, F]
         # activations dominate HBM, and recomputing them is cheaper than
@@ -233,26 +236,50 @@ class SEGNNLayer:
         """
         n, k = senders.shape
 
-        if self.use_pallas:
-            agg = self._fused_messages(
-                params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask
-            )
-        else:
-
-            def messages_and_aggregate(msg_params, h_local_, h_ext_):
-                hs = jnp.take(
-                    h_ext_, jnp.minimum(senders, h_ext_.shape[0] - 1), axis=0
+        def msgs_block(msg_params, h_ext_, h_local_b, senders_b, edge_attr_b,
+                       dist2_b, mask_b):
+            """Message MLP + K-sum over a block of nodes (pallas or jnp)."""
+            if self.use_pallas:
+                return self._fused_messages(
+                    msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
+                    dist2_b, mask_b,
                 )
-                hr = jnp.broadcast_to(h_local_[:, None, :], hs.shape)
-                m = jnp.concatenate([hs, hr, edge_dist2[..., None]], axis=-1)
-                for i, layer in enumerate(self.message_layers):
-                    m = layer(msg_params[f"msg_{i}"], m, edge_attr)
-                m = jnp.where(edge_mask[..., None], m, 0.0)
-                return m.sum(axis=1)
+            hs = jnp.take(
+                h_ext_, jnp.minimum(senders_b, h_ext_.shape[0] - 1), axis=0
+            )
+            hr = jnp.broadcast_to(h_local_b[:, None, :], hs.shape)
+            m = jnp.concatenate([hs, hr, dist2_b[..., None]], axis=-1)
+            for i, layer in enumerate(self.message_layers):
+                m = layer(msg_params[f"msg_{i}"], m, edge_attr_b)
+            m = jnp.where(mask_b[..., None], m, 0.0)
+            return m.sum(axis=1)
+
+        chunks = self.edge_chunks if n % max(self.edge_chunks, 1) == 0 else 1
+        if chunks > 1:
+            # stream node blocks: bounds live per-edge memory to one chunk —
+            # required at 1M+ points where [N, K, F] tensors exceed HBM
+            c = n // chunks
+
+            def chunk_fn(msg_params, h_ext_, idx):
+                sl = idx * c
+                d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
+                return msgs_block(
+                    msg_params, h_ext_, d(h_local), d(senders), d(edge_attr),
+                    d(edge_dist2), d(edge_mask),
+                )
 
             if self.remat:
-                messages_and_aggregate = jax.checkpoint(messages_and_aggregate)
-            agg = messages_and_aggregate(params, h_local, h_ext)
+                chunk_fn = jax.checkpoint(chunk_fn, static_argnums=())
+            agg = jax.lax.map(
+                lambda i: chunk_fn(params, h_ext, i), jnp.arange(chunks)
+            ).reshape(n, -1)
+        else:
+            f = msgs_block
+            if self.remat:
+                f = jax.checkpoint(f)
+            agg = f(
+                params, h_ext, h_local, senders, edge_attr, edge_dist2, edge_mask
+            )
         u = jnp.concatenate([h_local, agg], axis=-1)
         for i, layer in enumerate(self.update_layers):
             u = layer(params[f"upd_{i}"], u, node_attr)
@@ -351,6 +378,7 @@ class SEGNN:
         remat: bool = False,
         layout: Optional[str] = None,
         use_pallas: bool = False,
+        edge_chunks: int = 1,
     ) -> None:
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
@@ -361,14 +389,10 @@ class SEGNN:
         self.vel_attr = vel_attr
 
         # internal feature layout: component-major ('cm') keeps the TPU vector
-        # lanes running over channels instead of 3-vectors (~40x lane
-        # occupancy for l=1 blocks); only available on the lmax=1 fast path.
+        # lanes running over channels instead of (2l+1)-vectors (~40x lane
+        # occupancy for l=1 blocks); default for all configs.
         if layout is None:
-            layout = (
-                "cm"
-                if self.hidden_irreps.lmax <= 1 and lmax_attr == 1
-                else "mul"
-            )
+            layout = "cm"
         self.layout = layout
 
         self.embed = O3TensorProductGate(
@@ -378,7 +402,7 @@ class SEGNN:
         self.layers = [
             SEGNNLayer(
                 self.hidden_irreps, self.attr_irreps, act=act, remat=remat,
-                layout=layout, use_pallas=use_pallas,
+                layout=layout, use_pallas=use_pallas, edge_chunks=edge_chunks,
             )
             for _ in range(num_layers)
         ]

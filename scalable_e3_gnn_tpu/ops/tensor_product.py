@@ -389,7 +389,16 @@ class TensorProduct:
         irreps_out: Irreps,
         irrep_normalization: str = "component",
         path_normalization: str = "element",
+        layout_in1: str = "mul",
+        layout_out: str = "mul",
     ) -> None:
+        # layouts as in L1TensorProduct: 'cm' keeps the TPU lane axis on
+        # multiplicities; in2 is always dense mul-major (attr vectors, mul 1
+        # per group in the sh case)
+        if layout_in1 not in ("mul", "cm") or layout_out not in ("mul", "cm"):
+            raise ValueError("layouts must be 'mul' or 'cm'")
+        self.layout_in1 = layout_in1
+        self.layout_out = layout_out
         self.irreps_in1 = Irreps(irreps_in1)
         self.irreps_in2 = Irreps(irreps_in2)
         self.irreps_out = Irreps(irreps_out)
@@ -446,32 +455,69 @@ class TensorProduct:
     def __call__(
         self, params: Dict[str, jnp.ndarray], in1: jnp.ndarray, in2: jnp.ndarray
     ) -> jnp.ndarray:
+        """Sparse-CG, component-wise evaluation.
+
+        Path features are built per *output component* k as lane-wide
+        [..., mul] tensors (the CG tensors are sparse: only the few nonzero
+        (i, j, k) entries contribute), then one [..., P] x [P, w] GEMM per
+        component.  No tensor ever carries a (2l+1)-sized trailing dim, which
+        on TPU would pad to 128 lanes — this is what makes lmax>=2 viable at
+        point-cloud scale.
+        """
         if in1.shape[-1] != self.in1_dim:
             raise ValueError(f"in1 last dim {in1.shape[-1]} != {self.in1_dim}")
         if in2.shape[-1] != self.in2_dim:
             raise ValueError(f"in2 last dim {in2.shape[-1]} != {self.in2_dim}")
         lead = in1.shape[:-1]
         dt = in1.dtype
+
+        def comp1(sl, mul, l, i):
+            """in1 component i of a group as [..., mul] (layout-aware)."""
+            d = 2 * l + 1
+            if self.layout_in1 == "cm":
+                return in1[..., sl.start + i * mul : sl.start + (i + 1) * mul]
+            blk = in1[..., sl].reshape(lead + (mul, d))
+            return blk[..., :, i]
+
         out_parts = []
         for io, mo in enumerate(self.irreps_out):
             name = f"w{io}"
             if name not in self._w_shapes:
                 out_parts.append(jnp.zeros(lead + (mo.dim,), dtype=dt))
                 continue
-            path_feats = []
-            for sl_1, mul1, l1, sl_2, mul2, l2, cg in self._paths[io]:
-                x1 = in1[..., sl_1].reshape(lead + (mul1, 2 * l1 + 1))
-                x2 = in2[..., sl_2].reshape(lead + (mul2, 2 * l2 + 1))
-                # [..., u, v, k] -> [..., u*v, k]
-                f = jnp.einsum(
-                    "...ui,...vj,ijk->...uvk", x1, x2, jnp.asarray(cg, dt)
-                ).reshape(lead + (mul1 * mul2, 2 * mo.ir.l + 1))
-                path_feats.append(f)
-            f = jnp.concatenate(path_feats, axis=-2)  # [..., P, k]
-            res = jnp.einsum(
-                "...pk,pw->...wk", f, params[name],
-                preferred_element_type=jnp.float32,
-            )
-            res = (self._norm[io] * res).astype(dt).reshape(lead + (mo.dim,))
-            out_parts.append(res)
+            k3 = mo.ir.dim
+            comp_res = []
+            for k in range(k3):
+                path_feats = []
+                for sl_1, mul1, l1, sl_2, mul2, l2, cg in self._paths[io]:
+                    acc = None
+                    for i, j in zip(*np.nonzero(cg[:, :, k])):
+                        c = float(cg[i, j, k])
+                        x1i = comp1(sl_1, mul1, l1, int(i))  # [..., mul1]
+                        x2j = in2[..., sl_2].reshape(lead + (mul2, 2 * l2 + 1))[
+                            ..., :, int(j)
+                        ]  # [..., mul2]
+                        if mul2 == 1:
+                            term = c * x1i * x2j
+                        else:
+                            term = (
+                                c * x1i[..., :, None] * x2j[..., None, :]
+                            ).reshape(lead + (mul1 * mul2,))
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = jnp.zeros(lead + (mul1 * mul2,), dt)
+                    path_feats.append(acc)
+                f = (
+                    jnp.concatenate(path_feats, axis=-1)
+                    if len(path_feats) > 1
+                    else path_feats[0]
+                )  # [..., P]
+                o = jnp.matmul(
+                    f, params[name], preferred_element_type=jnp.float32
+                )  # [..., w]
+                comp_res.append((self._norm[io] * o).astype(dt))
+            blk = jnp.stack(comp_res, axis=-2)  # [..., k3, w]
+            if self.layout_out == "mul" and k3 > 1:
+                blk = jnp.swapaxes(blk, -1, -2)
+            out_parts.append(blk.reshape(lead + (mo.dim,)))
         return jnp.concatenate(out_parts, axis=-1)
