@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--neighbors", type=int, default=24)
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--chunks", type=int, default=None)
     ap.add_argument("--log", type=str, default=None)
     args = ap.parse_args()
 
@@ -76,7 +77,7 @@ def main():
     target = (rel * jnp.where(graph.edge_mask, mj, 0.0)[..., None]).sum(axis=1)
 
     hidden = "32x0e+16x1o" if args.lmax == 1 else "24x0e+12x1o+6x2e"
-    chunks = max(1, n // 125_000)
+    chunks = args.chunks or max(1, n // 125_000)
     model = SEGNN(
         Irreps("2x0e+1x1o"), Irreps(hidden), Irreps("1x1o"),
         lmax_attr=args.lmax, num_layers=4, remat=True, layout="cm",

@@ -215,6 +215,42 @@ class SEGNNLayer:
         h = h_local + u  # residual
         return jnp.where(node_mask[:, None], h, 0.0)
 
+    def apply_split(
+        self,
+        params,
+        h_local: jnp.ndarray,
+        h_ext: jnp.ndarray,
+        loc_edges,  # (senders_loc, receivers_loc, mask, edge_attr, dist2)
+        rem_edges,  # (senders_rem(ext-space), receivers, mask, edge_attr, dist2)
+        node_attr: jnp.ndarray,
+        node_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """COO variant with split local/remote edge lists (overlap path).
+
+        The local aggregation depends only on ``h_local``; the remote one on
+        the exchanged ``h_ext`` — structuring the dependencies this way lets
+        XLA run the boundary collective concurrently with the local pass.
+        """
+        n = h_local.shape[0]
+
+        def msgs(h_src, senders, receivers, mask, eattr, d2):
+            s = jnp.minimum(senders, h_src.shape[0] - 1)
+            r = jnp.minimum(receivers, n - 1)
+            m = jnp.concatenate(
+                [gather(h_src, s), gather(h_local, r), d2[:, None]], axis=-1
+            )
+            for i, layer in enumerate(self.message_layers):
+                m = layer(params[f"msg_{i}"], m, eattr)
+            m = jnp.where(mask[:, None], m, 0.0)
+            return segment_sum(m, receivers, n, indices_are_sorted=True)
+
+        agg = msgs(h_local, *loc_edges[:3], *loc_edges[3:])
+        agg = agg + msgs(h_ext, *rem_edges[:3], *rem_edges[3:])
+        u = jnp.concatenate([h_local, agg], axis=-1)
+        for i, layer in enumerate(self.update_layers):
+            u = layer(params[f"upd_{i}"], u, node_attr)
+        return jnp.where(node_mask[:, None], h_local + u, 0.0)
+
     def apply_dense(
         self,
         params,

@@ -55,20 +55,41 @@ def exchange_halo(
     return jnp.concatenate([h_local, halo], axis=0)
 
 
-def _local_forward(model: SEGNN, params, shard, axis_name: str, velocities=None):
-    """Per-device SEGNN forward on one partition (runs inside shard_map)."""
-    nodes, pos_ext, senders, receivers, edge_mask, node_mask, boundary_idx, halo_map = shard
-    npp = nodes.shape[0]
-
-    # geometry: rel position of (sender_ext, receiver_local) pairs
+def _edge_geometry(model: SEGNN, pos_ext, npp, senders, receivers, mask):
     s = jnp.minimum(senders, pos_ext.shape[0] - 1)
     r = jnp.minimum(receivers, npp - 1)
     rel = jnp.take(pos_ext, s, axis=0) - jnp.take(pos_ext, r, axis=0)
-    rel = jnp.where(edge_mask[:, None], rel, 0.0)
+    rel = jnp.where(mask[:, None], rel, 0.0)
     dist2 = jnp.sum(rel * rel, axis=-1)
-    edge_attr = spherical_harmonics(model.lmax_attr, rel)
-    edge_attr = jnp.where(edge_mask[:, None], edge_attr, 0.0)
-    node_attr = segment_mean(edge_attr, receivers, npp)
+    attr = spherical_harmonics(model.lmax_attr, rel)
+    return jnp.where(mask[:, None], attr, 0.0), dist2
+
+
+def _local_forward(model: SEGNN, params, shard, axis_name: str, velocities=None):
+    """Per-device SEGNN forward on one partition (runs inside shard_map).
+
+    Exchange/compute overlap (SURVEY.md §3.4): per layer, the local-edge
+    aggregation has no data dependency on the boundary collective, so XLA's
+    async collective scheduler runs the all_gather concurrently with it; the
+    remote-edge aggregation consumes the halo afterwards.
+    """
+    (nodes, pos_ext, node_mask, boundary_idx, halo_map,
+     s_loc, r_loc, m_loc, s_rem, r_rem, m_rem) = shard
+    npp = nodes.shape[0]
+
+    attr_loc, d2_loc = _edge_geometry(model, pos_ext, npp, s_loc, r_loc, m_loc)
+    attr_rem, d2_rem = _edge_geometry(model, pos_ext, npp, s_rem, r_rem, m_rem)
+
+    # node attr: mean of incident edge attrs over BOTH splits
+    rcnt_loc = jnp.where(m_loc, r_loc, npp)
+    rcnt_rem = jnp.where(m_rem, r_rem, npp)
+    ssum = jax.ops.segment_sum(attr_loc, rcnt_loc, npp) + jax.ops.segment_sum(
+        attr_rem, rcnt_rem, npp
+    )
+    cnt = jax.ops.segment_sum(
+        m_loc.astype(attr_loc.dtype), rcnt_loc, npp
+    ) + jax.ops.segment_sum(m_rem.astype(attr_loc.dtype), rcnt_rem, npp)
+    node_attr = ssum / jnp.maximum(cnt, 1e-9)[:, None]
     if model.vel_attr and velocities is not None:
         node_attr = node_attr + spherical_harmonics(model.lmax_attr, velocities)
     node_attr = node_attr.at[..., 0].set(1.0)
@@ -77,9 +98,11 @@ def _local_forward(model: SEGNN, params, shard, axis_name: str, velocities=None)
     h = jnp.where(node_mask[:, None], h, 0.0)
     for i, layer in enumerate(model.layers):
         h_ext = exchange_halo(h, boundary_idx, halo_map, axis_name)
-        h = layer.apply(
-            params[f"layer_{i}"], h, h_ext, senders, receivers,
-            edge_attr, node_attr, dist2, edge_mask, node_mask,
+        h = layer.apply_split(
+            params[f"layer_{i}"], h, h_ext,
+            (s_loc, r_loc, m_loc, attr_loc, d2_loc),
+            (s_rem, r_rem, m_rem, attr_rem, d2_rem),
+            node_attr, node_mask,
         )
     h = model.pre_head(params["pre_head"], h, node_attr)
     out = model.head(params["head"], h)
@@ -90,13 +113,19 @@ def _shard_args(part: PartitionedGraph):
     return (
         jnp.asarray(part.nodes),
         jnp.asarray(part.positions_ext),
-        jnp.asarray(part.senders),
-        jnp.asarray(part.receivers),
-        jnp.asarray(part.edge_mask),
         jnp.asarray(part.node_mask),
         jnp.asarray(part.boundary_idx),
         jnp.asarray(part.halo_map),
+        jnp.asarray(part.senders_loc),
+        jnp.asarray(part.receivers_loc),
+        jnp.asarray(part.mask_loc),
+        jnp.asarray(part.senders_rem),
+        jnp.asarray(part.receivers_rem),
+        jnp.asarray(part.mask_rem),
     )
+
+
+_NUM_SHARD_ARGS = 11
 
 
 def shard_partitioned(part: PartitionedGraph, mesh: Mesh, axis: str = "graph"):
@@ -115,7 +144,7 @@ def make_dist_forward(model: SEGNN, mesh: Mesh, axis: str = "graph") -> Callable
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), (spec_data,) * 8),
+        in_specs=(P(), (spec_data,) * _NUM_SHARD_ARGS),
         out_specs=spec_data,
         check_vma=False,
     )
@@ -151,14 +180,14 @@ def make_dist_train_step(
         # scatter-accumulates halo cotangents back to owner devices); the
         # global normalizer enters as a constant
         out = _local_forward(model, params, shard, axis)
-        node_mask = shard[5]
+        node_mask = shard[2]
         err = jnp.where(node_mask[:, None], (out - target) ** 2, 0.0)
         return err.sum() / denom
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), (spec_data,) * 8, spec_data),
+        in_specs=(P(), (spec_data,) * _NUM_SHARD_ARGS, spec_data),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -166,7 +195,7 @@ def make_dist_train_step(
         strip = (lambda x: x[0][0]) if dp_axis else (lambda x: x[0])
         shard = tuple(strip(x) for x in shard)
         target = strip(target)
-        node_mask = shard[5]
+        node_mask = shard[2]
         denom = jax.lax.psum(node_mask.sum(), lead) * target.shape[-1]
         loss, grads = jax.value_and_grad(local_loss)(
             state.params, shard, target, jnp.maximum(denom, 1).astype(target.dtype)

@@ -45,6 +45,15 @@ class PartitionedGraph(NamedTuple):
     boundary_idx: np.ndarray  # [P, H] local idx of nodes this part exports; pad 0
     halo_map: np.ndarray  # [P, H] pool idx feeding each halo slot; pad 0
     global_ids: np.ndarray  # [P, Np] original sorted-space node id; pad -1
+    # split edge lists for exchange/compute overlap (SURVEY.md §3.4): local
+    # edges need no halo — their aggregation runs while the boundary-feature
+    # exchange is in flight; remote edges run after.
+    senders_loc: np.ndarray  # [P, El] local-space; pad = Np
+    receivers_loc: np.ndarray  # [P, El] local-space, sorted; pad = Np
+    mask_loc: np.ndarray  # [P, El]
+    senders_rem: np.ndarray  # [P, Er] extended-space (halo slots); pad = Np+H
+    receivers_rem: np.ndarray  # [P, Er] local-space, sorted; pad = Np
+    mask_rem: np.ndarray  # [P, Er]
 
 
 def partition_graph(
@@ -56,6 +65,8 @@ def partition_graph(
     num_parts: int,
     halo_cap: int | None = None,
     edges_per_part: int | None = None,
+    local_edges_per_part: int | None = None,
+    remote_edges_per_part: int | None = None,
 ) -> PartitionedGraph:
     """Split a receiver-sorted graph into P Morton-contiguous partitions."""
     n = positions.shape[0]
@@ -118,6 +129,30 @@ def partition_graph(
     halo_map = np.zeros((num_parts, H), np.int32)
     gids = np.full((num_parts, npp), -1, np.int32)
 
+    # split-edge arrays (padded to per-partition maxima)
+    el = max(
+        (int((owner(s) == p).sum()) for p, (s, _) in enumerate(part_edges)),
+        default=0,
+    )
+    er = max(
+        (int((owner(s) != p).sum()) for p, (s, _) in enumerate(part_edges)),
+        default=0,
+    )
+    if local_edges_per_part is not None:
+        if local_edges_per_part < el:
+            raise ValueError(f"local_edges_per_part < needed {el}")
+        el = local_edges_per_part
+    if remote_edges_per_part is not None:
+        if remote_edges_per_part < er:
+            raise ValueError(f"remote_edges_per_part < needed {er}")
+        er = remote_edges_per_part
+    sl_arr = np.full((num_parts, max(el, 1)), npp, np.int32)
+    rl_arr = np.full((num_parts, max(el, 1)), npp, np.int32)
+    ml_arr = np.zeros((num_parts, max(el, 1)), bool)
+    sr_arr = np.full((num_parts, max(er, 1)), npp + H, np.int32)
+    rr_arr = np.full((num_parts, max(er, 1)), npp, np.int32)
+    mr_arr = np.zeros((num_parts, max(er, 1)), bool)
+
     for p in range(num_parts):
         lo = p * npp
         cnt = max(0, min(npp, n - lo))
@@ -143,7 +178,22 @@ def partition_graph(
         r_arr[p, :k] = r - lo
         e_mask[p, :k] = True
 
+        is_loc = so == p
+        kl, kr = int(is_loc.sum()), int((~is_loc).sum())
+        sl_arr[p, :kl] = (s - lo)[is_loc]
+        rl_arr[p, :kl] = (r - lo)[is_loc]
+        ml_arr[p, :kl] = True
+        sr_arr[p, :kr] = s_local[~is_loc]
+        rr_arr[p, :kr] = (r - lo)[~is_loc]
+        mr_arr[p, :kr] = True
+
     return PartitionedGraph(
+        senders_loc=sl_arr,
+        receivers_loc=rl_arr,
+        mask_loc=ml_arr,
+        senders_rem=sr_arr,
+        receivers_rem=rr_arr,
+        mask_rem=mr_arr,
         num_parts=num_parts,
         n_per_part=npp,
         halo_cap=H,

@@ -136,6 +136,7 @@ def test_dp_times_graph_mesh():
         part = partition_graph(
             np.array(tree.points), feats, np.array(e.senders), np.array(e.receivers),
             np.array(e.mask), num_parts=4, halo_cap=256, edges_per_part=6000,
+            local_edges_per_part=5000, remote_edges_per_part=3000,
         )
         parts.append(part)
         targets.append(tgt)
