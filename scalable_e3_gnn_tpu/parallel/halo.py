@@ -46,10 +46,19 @@ def exchange_halo(
     boundary_idx: jnp.ndarray,  # [H]
     halo_map: jnp.ndarray,  # [H]
     axis_name: str,
+    backend: str = "xla",  # "xla" (all_gather) | "rdma" (Pallas ring)
+    num_devices: Optional[int] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Return extended features [Np + H, F]: local rows then filled halo slots."""
     bound = jnp.take(h_local, boundary_idx, axis=0)  # [H, F] exports
-    pool = jax.lax.all_gather(bound, axis_name)  # [P, H, F]
+    if backend == "rdma":
+        from ..kernels.halo_rdma import ring_all_gather
+
+        assert num_devices is not None, "rdma backend needs num_devices"
+        pool = ring_all_gather(bound, axis_name, num_devices, interpret=interpret)
+    else:
+        pool = jax.lax.all_gather(bound, axis_name)  # [P, H, F]
     pool = pool.reshape(-1, h_local.shape[-1])  # [P*H, F]
     halo = jnp.take(pool, halo_map, axis=0)  # [H, F]
     return jnp.concatenate([h_local, halo], axis=0)
