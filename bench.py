@@ -79,7 +79,12 @@ def main():
     num_edges = int(edges.num_edges)
 
     feats = rng.standard_normal((N_POINTS, 5)).astype(np.float32)
-    graph = DenseEdgeGraph.from_radius_edges(jnp.asarray(feats), tree.points, edges)
+    # symmetrize: drops K-truncation-asymmetric edges and enables the
+    # scatter-free sender-gradient path
+    graph = DenseEdgeGraph.from_radius_edges(
+        jnp.asarray(feats), tree.points, edges, symmetrize=True
+    )
+    num_edges = int(graph.edge_mask.sum())
     target = jnp.asarray(rng.standard_normal((N_POINTS, 3)), jnp.float32)
 
     model = SEGNN(

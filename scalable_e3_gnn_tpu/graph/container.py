@@ -78,6 +78,9 @@ class DenseEdgeGraph:
     node_mask: jnp.ndarray  # [N] bool
     node_graph: jnp.ndarray  # [N] graph id (pooling)
     n_graphs: int = dataclasses.field(metadata=dict(static=True))
+    # present only on symmetrized graphs (graph.radius.symmetrize_dense):
+    # enables the scatter-free sender-gradient path
+    reverse_slot: Optional[jnp.ndarray] = None  # [N, K] int32
 
     def _replace(self, **kw) -> "DenseEdgeGraph":
         return dataclasses.replace(self, **kw)
@@ -91,20 +94,35 @@ class DenseEdgeGraph:
         return self.senders.shape[1]
 
     @classmethod
-    def from_radius_edges(cls, nodes, positions, edges, n_graphs=1, node_graph=None, node_mask=None):
-        """Build from a RadiusEdges result (receiver-major fixed-K COO)."""
+    def from_radius_edges(
+        cls, nodes, positions, edges, n_graphs=1, node_graph=None, node_mask=None,
+        symmetrize: bool = False,
+    ):
+        """Build from a RadiusEdges result (receiver-major fixed-K COO).
+
+        ``symmetrize=True`` drops K-truncation-asymmetric edges and records
+        reverse-edge slots, enabling the scatter-free gradient path.
+        """
         n = nodes.shape[0]
         k = edges.senders.shape[0] // n
+        senders = edges.senders.reshape(n, k)
+        mask = edges.mask.reshape(n, k)
+        reverse_slot = None
+        if symmetrize:
+            from .radius import symmetrize_dense
+
+            mask, reverse_slot = symmetrize_dense(senders, mask)
         return cls(
             nodes=nodes,
             positions=positions,
-            senders=edges.senders.reshape(n, k),
-            edge_mask=edges.mask.reshape(n, k),
+            senders=senders,
+            edge_mask=mask,
             node_mask=node_mask if node_mask is not None else jnp.ones((n,), bool),
             node_graph=node_graph
             if node_graph is not None
             else jnp.zeros((n,), jnp.int32),
             n_graphs=n_graphs,
+            reverse_slot=reverse_slot,
         )
 
     def rel_positions(self) -> jnp.ndarray:

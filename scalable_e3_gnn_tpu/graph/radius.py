@@ -88,6 +88,29 @@ def radius_graph_brute(
     return RadiusEdges(senders, receivers, mask, mask.sum().astype(jnp.int32))
 
 
+def symmetrize_dense(senders: jnp.ndarray, mask: jnp.ndarray):
+    """Make a fixed-K neighbor list symmetric; compute reverse-edge slots.
+
+    Nearest-K truncation can keep (u -> v) while dropping (v -> u); such
+    one-sided edges are removed (interactions are symmetric anyway).  Returns
+    ``(mutual_mask [N,K], reverse_slot [N,K])`` where reverse_slot[v, k] is
+    the flat slot (in [N*K]) of the edge pointing back from v to its k-th
+    sender — the structure that lets sender gradients be computed by a gather
+    instead of a scatter (ops.gather_scatter.take_dense_symmetric).
+    """
+    n, k = senders.shape
+    s = jnp.minimum(senders, n - 1)
+    nbr_of_nbr = jnp.take(senders, s, axis=0)  # [N, K, K]
+    nbr_valid = jnp.take(mask, s, axis=0)  # [N, K, K]
+    me = jnp.arange(n, dtype=senders.dtype)[:, None, None]
+    eq = (nbr_of_nbr == me) & nbr_valid
+    found = eq.any(axis=-1)
+    kprime = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    mutual = mask & found
+    reverse_slot = jnp.where(mutual, s * k + kprime, n * k)
+    return mutual, reverse_slot.astype(jnp.int32)
+
+
 def search_level_for_radius(
     radius: float, lo: Tuple[float, float, float], hi: Tuple[float, float, float]
 ) -> int:

@@ -26,7 +26,8 @@ from ..core.irreps import Irreps
 from ..core.spherical import spherical_harmonics
 from ..graph.container import DenseEdgeGraph, SteerableGraph
 from ..ops.gate import Gate
-from ..ops.gather_scatter import gather, segment_mean, segment_sum
+from ..ops.gather_scatter import (gather, segment_mean, segment_sum,
+                                  take_dense_symmetric)
 from ..ops.linear import O3Linear
 from ..ops.tensor_product import L1TensorProduct, TensorProduct
 
@@ -262,6 +263,7 @@ class SEGNNLayer:
         edge_dist2: jnp.ndarray,  # [N, K]
         edge_mask: jnp.ndarray,  # [N, K]
         node_mask: jnp.ndarray,  # [N]
+        reverse_slot: Optional[jnp.ndarray] = None,  # [N, K] symmetric graphs
     ) -> jnp.ndarray:
         """Fixed-degree variant: K neighbor slots per node.
 
@@ -272,17 +274,24 @@ class SEGNNLayer:
         """
         n, k = senders.shape
 
+        # scatter-free sender gradients require the full (unchunked) edge set
+        # because reverse edges cross chunk boundaries
+        rs = reverse_slot if self.edge_chunks == 1 else None
+
         def msgs_block(msg_params, h_ext_, h_local_b, senders_b, edge_attr_b,
                        dist2_b, mask_b):
             """Message MLP + K-sum over a block of nodes (pallas or jnp)."""
             if self.use_pallas:
                 return self._fused_messages(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
-                    dist2_b, mask_b,
+                    dist2_b, mask_b, reverse_slot=rs,
                 )
-            hs = jnp.take(
-                h_ext_, jnp.minimum(senders_b, h_ext_.shape[0] - 1), axis=0
-            )
+            if rs is not None and h_ext_ is h_local_b:
+                hs = take_dense_symmetric(h_ext_, senders_b, rs, mask_b)
+            else:
+                hs = jnp.take(
+                    h_ext_, jnp.minimum(senders_b, h_ext_.shape[0] - 1), axis=0
+                )
             hr = jnp.broadcast_to(h_local_b[:, None, :], hs.shape)
             m = jnp.concatenate([hs, hr, dist2_b[..., None]], axis=-1)
             for i, layer in enumerate(self.message_layers):
@@ -311,7 +320,9 @@ class SEGNNLayer:
             ).reshape(n, -1)
         else:
             f = msgs_block
-            if self.remat:
+            # the fused kernel saves only its inputs (custom_vjp recomputes
+            # in-kernel), so checkpoint would add a redundant forward pass
+            if self.remat and not self.use_pallas:
                 f = jax.checkpoint(f)
             agg = f(
                 params, h_ext, h_local, senders, edge_attr, edge_dist2, edge_mask
@@ -323,7 +334,8 @@ class SEGNNLayer:
         return jnp.where(node_mask[:, None], h, 0.0)
 
     def _fused_messages(
-        self, params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask
+        self, params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask,
+        reverse_slot=None,
     ):
         """Dispatch the message MLP + aggregation to the Pallas fused kernel."""
         from ..kernels.fused_message import MessageConfig, fused_message_aggregate
@@ -334,7 +346,10 @@ class SEGNNLayer:
         npad = -(-n // tile) * tile
         cfg = MessageConfig(hs=self._pallas_hs, hv=self._pallas_hv, k=k, tile=tile)
 
-        hs = jnp.take(h_ext, jnp.minimum(senders, h_ext.shape[0] - 1), axis=0)
+        if reverse_slot is not None and h_ext is h_local:
+            hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
+        else:
+            hs = jnp.take(h_ext, jnp.minimum(senders, h_ext.shape[0] - 1), axis=0)
         hs = hs.reshape(n * k, f)
         attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
         # d2/mask flattened to [N*K, 1] outside the kernel (Mosaic cannot
@@ -512,6 +527,7 @@ class SEGNN:
             h = layer.apply_dense(
                 params[f"layer_{i}"], h, h, graph.senders, edge_attr, node_attr,
                 dist2, graph.edge_mask, graph.node_mask,
+                reverse_slot=graph.reverse_slot,
             )
         h = self.pre_head(params["pre_head"], h, node_attr)
         out = self.head(params["head"], h)

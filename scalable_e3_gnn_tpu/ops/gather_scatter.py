@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "gather",
@@ -31,6 +32,7 @@ __all__ = [
     "scatter_sum",
     "spmm",
     "sddmm",
+    "take_dense_symmetric",
 ]
 
 
@@ -117,6 +119,48 @@ def spmm(
     if edge_weights is not None:
         msgs = msgs * edge_weights[:, None]
     return segment_sum(msgs, receivers, num_nodes, indices_are_sorted)
+
+
+@jax.custom_vjp
+def take_dense_symmetric(
+    h: jnp.ndarray,  # [N, F]
+    senders: jnp.ndarray,  # [N, K]
+    reverse_slot: jnp.ndarray,  # [N, K] flat slot of the reverse edge
+    mask: jnp.ndarray,  # [N, K] mutual-edge validity
+) -> jnp.ndarray:
+    """h[senders] whose VJP is a *gather* over reverse edges, not a scatter.
+
+    Valid only for symmetric fixed-K edge sets (see ``symmetrize_dense`` in
+    graph.radius): the sender-gradient of node v is the sum of the edge
+    cotangents at the reverse slots of v's own K incident edges — a dense
+    [N, K] gather + sum, ~3x faster on TPU than the scatter-add XLA emits for
+    the transpose of a gather.
+    """
+    n = h.shape[0]
+    return jnp.take(h, jnp.minimum(senders, n - 1), axis=0)
+
+
+def _tds_fwd(h, senders, reverse_slot, mask):
+    return take_dense_symmetric(h, senders, reverse_slot, mask), (
+        senders,
+        reverse_slot,
+        mask,
+    )
+
+
+def _tds_bwd(res, g):
+    senders, reverse_slot, mask = res
+    n, k = senders.shape
+    f = g.shape[-1]
+    gf = g.reshape(n * k, f)
+    rs = jnp.minimum(reverse_slot, n * k - 1)
+    picked = jnp.take(gf, rs.reshape(-1), axis=0).reshape(n, k, f)
+    d_h = jnp.where(mask[..., None], picked, 0.0).sum(axis=1)
+    z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_h, z(senders), z(reverse_slot), z(mask)
+
+
+take_dense_symmetric.defvjp(_tds_fwd, _tds_bwd)
 
 
 def sddmm(
