@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--neighbors", type=int, default=24)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--chunks", type=int, default=None)
+    ap.add_argument("--capacity", type=int, default=64)
     ap.add_argument("--log", type=str, default=None)
     args = ap.parse_args()
 
@@ -58,11 +59,33 @@ def main():
     tree = jax.jit(lambda p: build_octree(p, lo, hi, num_levels=levels))(
         jnp.asarray(pts)
     )
-    edges = jax.jit(
-        lambda t: radius_graph_cell(
-            t, radius, lo, hi, max_neighbors=args.neighbors, cell_capacity=64
+    seg = 1_000_000
+    if n <= seg:
+        edges = jax.jit(
+            lambda t: radius_graph_cell(
+                t, radius, lo, hi, max_neighbors=args.neighbors,
+                cell_capacity=args.capacity,
+            )
+        )(tree)
+    else:
+        # segment the build: one device program per 1M rows (a single
+        # multi-minute program can trip the runtime watchdog)
+        assert n % seg == 0
+        build_seg = jax.jit(
+            lambda t, start: radius_graph_cell(
+                t, radius, lo, hi, max_neighbors=args.neighbors,
+                cell_capacity=args.capacity, row_range=(start, seg),
+            )
         )
-    )(tree)
+        parts = [build_seg(tree, off) for off in range(0, n, seg)]
+        from scalable_e3_gnn_tpu.graph.radius import RadiusEdges
+
+        edges = RadiusEdges(
+            senders=jnp.concatenate([p.senders for p in parts]),
+            receivers=jnp.concatenate([p.receivers for p in parts]),
+            mask=jnp.concatenate([p.mask for p in parts]),
+            num_edges=sum(p.num_edges for p in parts),
+        )
     print(f"N={n} edges={int(edges.num_edges)} radius={radius:.4f} levels={levels}")
 
     masses_sorted = jnp.asarray(masses)[tree.order]
@@ -78,10 +101,11 @@ def main():
 
     hidden = "32x0e+16x1o" if args.lmax == 1 else "24x0e+12x1o+6x2e"
     chunks = args.chunks or max(1, n // 125_000)
+    on_tpu = jax.devices()[0].platform == "tpu"
     model = SEGNN(
         Irreps("2x0e+1x1o"), Irreps(hidden), Irreps("1x1o"),
         lmax_attr=args.lmax, num_layers=4, remat=True, layout="cm",
-        use_pallas=args.lmax == 1, edge_chunks=chunks,
+        use_pallas=on_tpu and args.lmax == 1, edge_chunks=chunks,
     )
     params = model.init(jax.random.key(0))
     attrs = jax.jit(model.compute_attributes_dense)(graph)

@@ -135,6 +135,7 @@ def radius_graph_cell(
     cell_capacity: int = 64,
     level: Optional[int] = None,
     block_size: int = 1024,
+    row_range: Optional[Tuple[int, int]] = None,
 ) -> RadiusEdges:
     """Radius graph from octree cells; indices are in *sorted* point space.
 
@@ -143,9 +144,17 @@ def radius_graph_cell(
     more than ``cell_capacity`` points contribute only their first
     ``cell_capacity`` candidates — validate occupancy offline (the octree's
     cell_count gives it directly).
+
+    ``row_range=(start, count)`` restricts edge emission to that range of
+    sorted points (receivers = start..start+count); candidates still come
+    from the whole cloud.  ``count`` must be static; ``start`` may be a traced
+    scalar, so one compiled program serves every segment of a 10M-point build
+    (one giant program can trip runtime watchdogs).
     """
     n = tree.num_points
     k = max_neighbors
+    row_start, row_count = (0, n) if row_range is None else row_range
+    row_start = jnp.asarray(row_start, jnp.int32)
     if level is None:
         level = search_level_for_radius(radius, lo, hi)
     level = min(level, tree.num_levels - 1)
@@ -157,15 +166,16 @@ def radius_graph_cell(
     cell_count = tree.cell_count[level]
     cap = cell_code.shape[0]
 
-    nb = -(-n // block_size)
-    npad = nb * block_size
-    pts_pad = jnp.concatenate([pts, jnp.zeros((npad - n, 3), pts.dtype)])
-    codes_pad = jnp.concatenate([codes, jnp.zeros((npad - n,), codes.dtype)])
+    nb = -(-row_count // block_size)
+    # pad enough for any (traced) row_start: one extra block always suffices
+    pad_n = block_size
+    pts_pad = jnp.concatenate([pts, jnp.zeros((pad_n, 3), pts.dtype)])
+    codes_pad = jnp.concatenate([codes, jnp.zeros((pad_n,), codes.dtype)])
 
     grid_max = (1 << level) - 1
 
     def one_block(b):
-        sl = b * block_size
+        sl = row_start + b * block_size
         rows = jax.lax.dynamic_slice(pts_pad, (sl, 0), (block_size, 3))
         rcodes = jax.lax.dynamic_slice(codes_pad, (sl,), (block_size,))
         row_idx = sl + jnp.arange(block_size, dtype=jnp.int32)
@@ -189,7 +199,7 @@ def radius_graph_cell(
         cpts = jnp.take(pts, cand.reshape(block_size, -1), axis=0)  # [B, 27C, 3]
         diff = cpts - rows[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
-        row_valid = (row_idx < n)[:, None]
+        row_valid = (row_idx < jnp.minimum(n, row_start + row_count))[:, None]
         return _topk_neighbors(
             d2,
             cand.reshape(block_size, -1),
@@ -200,8 +210,10 @@ def radius_graph_cell(
         )
 
     senders, mask = jax.lax.map(one_block, jnp.arange(nb))
-    senders = senders.reshape(-1)[: n * k]
-    mask = mask.reshape(-1)[: n * k]
-    receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    senders = senders.reshape(-1)[: row_count * k]
+    mask = mask.reshape(-1)[: row_count * k]
+    receivers = jnp.repeat(
+        row_start + jnp.arange(row_count, dtype=jnp.int32), k
+    )
     senders = jnp.where(mask, senders, n).astype(jnp.int32)
     return RadiusEdges(senders, receivers, mask, mask.sum().astype(jnp.int32))
