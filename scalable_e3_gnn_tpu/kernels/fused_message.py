@@ -47,7 +47,8 @@ class MessageConfig:
     hs: int  # scalar multiplicity of the hidden irreps
     hv: int  # vector multiplicity
     k: int  # neighbor slots per node
-    tile: int = 64  # node rows per grid step
+    tile: int = 64  # node rows per grid step (fwd)
+    bwd_tile: int = 0  # node rows per grid step (bwd); 0 = tile // 2
 
     @property
     def f(self) -> int:  # flat hidden dim (cm layout)
@@ -187,45 +188,50 @@ def _bwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
     _, _, res2 = _layer_fwd(m0e, m1o, s, v, w0e2, w1o2, Hs, Hv)
 
     # ---- backward ----
+    # cotangent intermediates are kept in the *input dtype*: exact in fp32
+    # test/parity mode; in bf16 production mode this halves live VMEM (the
+    # limit that forces a reduced bwd tile) at bf16-training-level precision.
+    # Weight-grad GEMMs still accumulate fp32 (preferred_element_type).
     d_agg = dagg_ref[:]  # [T, F]
     d_m = jnp.dot(E, d_agg.astype(dt), preferred_element_type=jnp.float32)
-    d_m = d_m * maskf
+    d_m = (d_m * maskf).astype(dt)
     d_m0e2 = d_m[:, :Hs]
     d_m1o2 = tuple(d_m[:, Hs + c * Hv : Hs + (c + 1) * Hv] for c in range(3))
 
     # layer 2 backward
     f0b, f1b, o0b, o1b, gb = res2
-    d_o1b = tuple(d_m1o2[c] * gb for c in range(3))
+    d_o1b = tuple((d_m1o2[c] * gb).astype(dt) for c in range(3))
     d_gb = d_m1o2[0] * o1b[0] + d_m1o2[1] * o1b[1] + d_m1o2[2] * o1b[2]
     d_o0b = jnp.concatenate(
         [d_m0e2 * _dsilu(o0b[:, :Hs]), d_gb * _dsigmoid(o0b[:, Hs:])], axis=-1
-    )
-    d_f0b = _mm(d_o0b.astype(dt), w0e2.T)
-    dW0e2 = _mm(f0b.T.astype(dt), d_o0b.astype(dt))
-    d_f1b = tuple(_mm(d_o1b[c].astype(dt), w1o2.T) for c in range(3))
-    dW1o2 = sum(_mm(f1b[c].T.astype(dt), d_o1b[c].astype(dt)) for c in range(3))
+    ).astype(dt)
+    d_f0b = _mm(d_o0b, w0e2.T).astype(dt)
+    dW0e2 = _mm(f0b.T.astype(dt), d_o0b)
+    d_f1b = tuple(_mm(d_o1b[c], w1o2.T).astype(dt) for c in range(3))
+    dW1o2 = sum(_mm(f1b[c].T.astype(dt), d_o1b[c]) for c in range(3))
 
     # back through layer-2 feature construction (input split: S2=Hs, V2=Hv)
     # f0b = [m0e*s ‖ cg110 * Σ_c m1o_c*v_c]; f1b_c = [cg011*m0e*v_c ‖ cg011*m1o_c*s]
-    d_m0e = d_f0b[:, :Hs] * s + sum(
-        CG011 * d_f1b[c][:, :Hs] * v[c] for c in range(3)
-    )
+    d_m0e = (
+        d_f0b[:, :Hs] * s
+        + sum(CG011 * d_f1b[c][:, :Hs] * v[c] for c in range(3))
+    ).astype(dt)
     d_m1o = tuple(
-        CG110 * d_f0b[:, Hs:] * v[c] + CG011 * d_f1b[c][:, Hs:] * s
+        (CG110 * d_f0b[:, Hs:] * v[c] + CG011 * d_f1b[c][:, Hs:] * s).astype(dt)
         for c in range(3)
     )
 
     # layer 1 backward (through the gate)
     f01, f11, o01, o11, g1 = res1
-    d_o11 = tuple(d_m1o[c] * g1 for c in range(3))
+    d_o11 = tuple((d_m1o[c] * g1).astype(dt) for c in range(3))
     d_g1 = d_m1o[0] * o11[0] + d_m1o[1] * o11[1] + d_m1o[2] * o11[2]
     d_o01 = jnp.concatenate(
         [d_m0e * _dsilu(o01[:, :Hs]), d_g1 * _dsigmoid(o01[:, Hs:])], axis=-1
-    )
-    d_f01 = _mm(d_o01.astype(dt), w0e1.T)
-    dW0e1 = _mm(f01.T.astype(dt), d_o01.astype(dt))
-    d_f11 = tuple(_mm(d_o11[c].astype(dt), w1o1.T) for c in range(3))
-    dW1o1 = sum(_mm(f11[c].T.astype(dt), d_o11[c].astype(dt)) for c in range(3))
+    ).astype(dt)
+    d_f01 = _mm(d_o01, w0e1.T).astype(dt)
+    dW0e1 = _mm(f01.T.astype(dt), d_o01)
+    d_f11 = tuple(_mm(d_o11[c], w1o1.T).astype(dt) for c in range(3))
+    dW1o1 = sum(_mm(f11[c].T.astype(dt), d_o11[c]) for c in range(3))
 
     # back to layer-1 inputs (S1 = 2Hs+1, V1 = 2Hv)
     S1 = cfg.s1
@@ -298,6 +304,11 @@ def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
     return _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
 
 
+# raise the scoped-VMEM cap (default ~16MB) so larger node tiles compile;
+# the kernels' live set is sized by tile × K × feature width
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
     n = hr.shape[0]
     assert n % cfg.tile == 0, (n, cfg.tile)
@@ -309,6 +320,7 @@ def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
         in_specs=data_specs + w_specs,
         out_specs=pl.BlockSpec((cfg.tile, cfg.f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, cfg.f), hr.dtype),
+        compiler_params=_COMPILER_PARAMS,
     )(hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
 
 
@@ -322,9 +334,9 @@ def _vjp_bwd(cfg, residuals, d_agg):
 
     hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2 = residuals
     # the backward holds ~2x the live tensors (recompute + cotangents):
-    # halve the tile to stay inside VMEM
-    if cfg.tile % 2 == 0:
-        cfg = dataclasses.replace(cfg, tile=cfg.tile // 2)
+    # default to half the fwd tile to stay inside VMEM, tunable via bwd_tile
+    bt = cfg.bwd_tile or (cfg.tile // 2 if cfg.tile % 2 == 0 else cfg.tile)
+    cfg = dataclasses.replace(cfg, tile=bt)
     n = hr.shape[0]
     n_tiles = n // cfg.tile
     data_specs, w_specs = _specs(cfg, n_tiles)
@@ -355,6 +367,7 @@ def _vjp_bwd(cfg, residuals, d_agg):
         + [pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=_COMPILER_PARAMS,
     )(hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2, d_agg)
     zeros = lambda x: jnp.zeros_like(x)
     wdt = w0e1.dtype

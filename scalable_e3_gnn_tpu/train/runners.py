@@ -1,0 +1,277 @@
+"""Experiment runners: one function per evaluation-ladder config.
+
+Thin orchestration over the real subsystems (data generators, graph builders,
+SEGNN, train pipeline, metrics, checkpointing) so the CLI, the examples, and
+tests share one code path.  Each runner takes an ``ExperimentConfig`` (see
+``utils.config``) plus keyword overrides and returns a result dict with the
+final loss and throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["run_nbody", "run_qm9", "run_pointcloud"]
+
+
+def _setup():
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
+def run_nbody(
+    cfg=None,
+    steps: Optional[int] = None,
+    graphs: int = 256,
+    ckpt_dir: Optional[str] = None,
+    log: Optional[str] = None,
+    resume: bool = False,
+) -> dict:
+    """Config 1: charged N-body, fully-connected 5-particle graphs."""
+    _setup()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..core.irreps import Irreps
+    from ..data.nbody import generate_dataset, make_fully_connected_edges
+    from ..graph.batching import batch_same_size
+    from ..models.segnn import SEGNN
+    from ..train.checkpoint import restore_checkpoint, save_checkpoint
+    from ..train.metrics import MetricsLogger
+    from ..train.pipeline import make_train_state, make_train_step, mse_loss
+    from ..utils.config import nbody_config
+
+    cfg = cfg or nbody_config()
+    steps = steps if steps is not None else cfg.train.num_steps
+    ds = generate_dataset(graphs, num_steps=500, seed=cfg.train.seed)
+    n = ds["pos0"].shape[1]
+    feats = np.concatenate(
+        [
+            (ds["vel0"] ** 2).sum(-1, keepdims=True),
+            ds["charges"][..., None],
+            ds["vel0"],
+        ],
+        -1,
+    )
+    s, r = make_fully_connected_edges(n)
+    graph = batch_same_size(feats, ds["pos0"], s, r)
+    vel = jnp.asarray(ds["vel0"].reshape(-1, 3))
+    target = jnp.asarray(ds["disp"].reshape(-1, 3))
+
+    model = SEGNN(
+        Irreps(cfg.model.input_irreps),
+        Irreps(cfg.model.hidden_irreps),
+        Irreps(cfg.model.output_irreps),
+        num_layers=cfg.model.num_layers,
+        vel_attr=cfg.model.vel_attr,
+    )
+    params = model.init(jax.random.key(cfg.train.seed))
+    opt = optax.adam(cfg.train.learning_rate)
+
+    def loss_fn(p, g, v, t):
+        return mse_loss(model(p, g, v), t)
+
+    step = make_train_step(loss_fn, opt, donate=False)
+    state = make_train_state(params, opt)
+    start = 0
+    if resume and ckpt_dir:
+        try:
+            state, start = restore_checkpoint(ckpt_dir, state)
+        except FileNotFoundError:
+            pass
+
+    logger = MetricsLogger(log, stdout_every=max(1, steps // 10))
+    n_edges = int(graph.edge_mask.sum())
+    m = {"loss": jnp.inf}
+    for i in range(start, steps):
+        state, m = step(state, graph, vel, target)
+        logger.log(i, {"loss": m["loss"], "grad_norm": m["grad_norm"]}, edges=n_edges)
+        if ckpt_dir and (i + 1) % cfg.train.checkpoint_every == 0:
+            save_checkpoint(ckpt_dir, i + 1, state)
+    jax.block_until_ready(state.params)
+    return {"final_loss": float(m["loss"]), "steps": steps, "edges": n_edges}
+
+
+def run_qm9(
+    cfg=None,
+    steps: Optional[int] = None,
+    molecules: int = 512,
+    batch_size: Optional[int] = None,
+    ckpt_dir: Optional[str] = None,
+    log: Optional[str] = None,
+) -> dict:
+    """Config 2: QM9-style molecular property regression, padded batches."""
+    _setup()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..core.irreps import Irreps
+    from ..data.qm9 import NUM_SPECIES, batch_molecules, generate_molecules
+    from ..models.segnn import SEGNN
+    from ..train.checkpoint import save_checkpoint
+    from ..train.metrics import MetricsLogger
+    from ..train.pipeline import make_train_state, make_train_step
+    from ..utils.config import qm9_config
+
+    cfg = cfg or qm9_config()
+    steps = steps if steps is not None else cfg.train.num_steps
+    bs = batch_size or cfg.train.batch_size
+    mols = generate_molecules(molecules, seed=cfg.train.seed)
+    batches = [
+        batch_molecules(
+            mols[i : i + bs],
+            radius=cfg.graph.radius,
+            max_neighbors=cfg.graph.max_neighbors,
+        )
+        for i in range(0, max(len(mols) - bs + 1, 1), bs)
+    ]
+
+    model = SEGNN(
+        Irreps(cfg.model.input_irreps),
+        Irreps(cfg.model.hidden_irreps),
+        Irreps(cfg.model.output_irreps),
+        num_layers=cfg.model.num_layers,
+        task="graph",
+    )
+    params = model.init(jax.random.key(cfg.train.seed))
+    opt = optax.adam(cfg.train.learning_rate)
+
+    def loss_fn(p, g, t):
+        pred = model(p, g)[:, 0]
+        return jnp.mean((pred - t) ** 2)
+
+    step = make_train_step(loss_fn, opt, donate=False)
+    state = make_train_state(params, opt)
+    logger = MetricsLogger(log, stdout_every=max(1, steps // 10))
+    m = {"loss": jnp.inf}
+    for i in range(steps):
+        g, t = batches[i % len(batches)]
+        state, m = step(state, g, t)
+        logger.log(i, {"loss": m["loss"]})
+        if ckpt_dir and (i + 1) % cfg.train.checkpoint_every == 0:
+            save_checkpoint(ckpt_dir, i + 1, state)
+    jax.block_until_ready(state.params)
+    return {"final_loss": float(m["loss"]), "steps": steps}
+
+
+def run_pointcloud(
+    cfg=None,
+    points: Optional[int] = None,
+    steps: Optional[int] = None,
+    log: Optional[str] = None,
+    seed: int = 0,
+) -> dict:
+    """Configs 3-5 (single-chip path): octree -> cell radius graph -> train.
+
+    The multi-host halo-exchange variant of config 5 lives in
+    ``parallel.halo`` / ``examples``; this runner covers what one chip (or the
+    CPU mesh) can execute end-to-end.
+    """
+    _setup()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..core.irreps import Irreps
+    from ..graph.container import DenseEdgeGraph
+    from ..graph.octree import build_octree
+    from ..graph.radius import RadiusEdges, radius_graph_cell
+    from ..models.segnn import SEGNN
+    from ..train.metrics import MetricsLogger
+    from ..train.pipeline import make_train_state, make_train_step, mse_loss
+    from ..utils.config import cloud100k_config
+
+    cfg = cfg or cloud100k_config()
+    n = points or 100_000
+    steps = steps if steps is not None else cfg.train.num_steps
+    # density-preserving radius when the point count is overridden:
+    # keeps the expected neighbor count constant (0.04 at 100k points)
+    radius = 0.04 * (100_000 / n) ** (1 / 3) if points else cfg.graph.radius
+    lo, hi = (cfg.graph.bounds[0],) * 3, (cfg.graph.bounds[1],) * 3
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 3)).astype(np.float32)
+    masses = rng.random((n, 1)).astype(np.float32)
+
+    levels = min(8, max(4, int(np.log2(1.0 / radius))))
+    tree = jax.jit(lambda p: build_octree(p, lo, hi, num_levels=levels))(
+        jnp.asarray(pts)
+    )
+    seg = 1_000_000
+    if n <= seg:
+        edges = jax.jit(
+            lambda t: radius_graph_cell(
+                t, radius, lo, hi, max_neighbors=cfg.graph.max_neighbors,
+                cell_capacity=cfg.graph.cell_capacity,
+            )
+        )(tree)
+    else:
+        assert n % seg == 0
+        build_seg = jax.jit(
+            lambda t, start: radius_graph_cell(
+                t, radius, lo, hi, max_neighbors=cfg.graph.max_neighbors,
+                cell_capacity=cfg.graph.cell_capacity, row_range=(start, seg),
+            )
+        )
+        parts = [build_seg(tree, off) for off in range(0, n, seg)]
+        edges = RadiusEdges(
+            senders=jnp.concatenate([p.senders for p in parts]),
+            receivers=jnp.concatenate([p.receivers for p in parts]),
+            mask=jnp.concatenate([p.mask for p in parts]),
+            num_edges=sum(p.num_edges for p in parts),
+        )
+
+    masses_sorted = jnp.asarray(masses)[tree.order]
+    feats = jnp.concatenate(
+        [masses_sorted, jnp.ones_like(masses_sorted), jnp.zeros((n, 3))], axis=-1
+    )
+    lmax1 = cfg.model.lmax_attr == 1
+    graph = DenseEdgeGraph.from_radius_edges(
+        feats, tree.points, edges, symmetrize=lmax1
+    )
+    rel = graph.rel_positions()
+    mj = jnp.take(masses_sorted[:, 0], jnp.minimum(graph.senders, n - 1))
+    target = (rel * jnp.where(graph.edge_mask, mj, 0.0)[..., None]).sum(axis=1)
+
+    chunks = max(1, n // 125_000) if not lmax1 else 1
+    on_tpu = jax.devices()[0].platform == "tpu"
+    model = SEGNN(
+        Irreps(cfg.model.input_irreps),
+        Irreps(cfg.model.hidden_irreps),
+        Irreps(cfg.model.output_irreps),
+        lmax_attr=cfg.model.lmax_attr,
+        num_layers=cfg.model.num_layers,
+        remat=cfg.model.remat,
+        layout=cfg.model.layout,
+        use_pallas=on_tpu and lmax1,
+        edge_chunks=chunks,
+    )
+    params = model.init(jax.random.key(seed))
+    attrs = jax.jit(model.compute_attributes_dense)(graph)
+    if cfg.train.bf16:
+        graph = graph._replace(nodes=graph.nodes.astype(jnp.bfloat16))
+        attrs = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, attrs
+        )
+
+    opt = optax.adam(cfg.train.learning_rate)
+
+    def loss_fn(p, g, a, t):
+        if cfg.train.bf16:
+            p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+        return mse_loss(model(p, g, attrs=a).astype(jnp.float32), t)
+
+    step = make_train_step(loss_fn, opt, donate=False)
+    state = make_train_state(params, opt)
+    logger = MetricsLogger(log, stdout_every=1)
+    n_edges = int(graph.edge_mask.sum())
+    m = {"loss": jnp.inf}
+    for i in range(steps):
+        state, m = step(state, graph, attrs, target)
+        logger.log(i, {"loss": m["loss"]}, edges=n_edges)
+    jax.block_until_ready(state.params)
+    return {"final_loss": float(m["loss"]), "steps": steps, "edges": n_edges}
