@@ -46,12 +46,24 @@ BF16 = True  # bf16 storage/compute with fp32 param master + fp32 accumulation
 
 
 def _timed(fn, *args, iters=3):
-    out = fn(*args)  # warm (compile)
-    jax.block_until_ready(out)
+    """Chained timing: under the axon tunnel, ``block_until_ready`` does not
+    reliably wait for remote completion, so each iteration perturbs the first
+    array argument by a scalar probe of the previous output (value 0 — results
+    unchanged) and one host fetch at the end forces the whole chain."""
+    first, rest = args[0], args[1:]
+    probe = lambda o: jax.tree.leaves(o)[0].ravel()[0].astype(jnp.float32)
+    perturb = jax.jit(lambda a, p: jax.tree.map(
+        lambda x: x + p.astype(x.dtype) * 0 if jnp.issubdtype(x.dtype, jnp.inexact) else x, a))
+    out = fn(first, *rest)  # warm (compile)
+    p = probe(out)
+    out = fn(perturb(first, p), *rest)  # warm the perturbed path too
+    p = probe(out)
+    float(p)
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(perturb(first, p), *rest)
+        p = probe(out)
+    float(p)
     return out, (time.time() - t0) / iters
 
 

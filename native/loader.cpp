@@ -1,0 +1,180 @@
+// scalable_e3_gnn_tpu — native host runtime: threaded point-cloud ingest.
+//
+// The TPU-side octree build (graph/octree.py) starts from Morton-sorted
+// points; for multi-host 10M+ point pipelines the encode+sort of the *next*
+// shard can run on host CPUs while the device trains on the current one.
+// This translation unit provides that host path: a parallel 30-bit Morton
+// encode (bit layout identical to graph/morton.py: 10 bits/axis, x highest)
+// and a parallel 3-pass LSD radix sort (10-bit digits) producing the sorted
+// codes plus the gather permutation.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
+// Build: g++ -O3 -march=native -shared -fPIC -o libe3loader.so loader.cpp -lpthread
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int BITS = 10;  // bits per axis (matches graph/morton.py BITS)
+constexpr uint32_t GRID_MAX = (1u << BITS) - 1;
+
+inline uint32_t part1by2(uint32_t x) {
+  x &= 0x3FF;
+  x = (x | (x << 16)) & 0x030000FF;
+  x = (x | (x << 8)) & 0x0300F00F;
+  x = (x | (x << 4)) & 0x030C30C3;
+  x = (x | (x << 2)) & 0x09249249;
+  return x;
+}
+
+int num_threads() {
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? static_cast<int>(hc) : 4;
+}
+
+template <typename F>
+void parallel_for(int64_t n, F body) {
+  int nt = num_threads();
+  if (n < (1 << 16) || nt <= 1) {
+    body(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = t * chunk, e = std::min<int64_t>(n, b + chunk);
+    if (b >= e) break;
+    ts.emplace_back([=] { body(b, e); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// points [n,3] row-major in the [lo, hi] box -> 30-bit codes [n]
+void e3_morton_encode(const float* pts, int64_t n, const float* lo,
+                      const float* hi, uint32_t* codes) {
+  float sx = (1u << BITS) / (hi[0] - lo[0]);
+  float sy = (1u << BITS) / (hi[1] - lo[1]);
+  float sz = (1u << BITS) / (hi[2] - lo[2]);
+  float lx = lo[0], ly = lo[1], lz = lo[2];
+  parallel_for(n, [=](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      const float* p = pts + 3 * i;
+      auto q = [](float v) {
+        long s = static_cast<long>(v);
+        if (v < 0) s = 0;
+        if (s > static_cast<long>(GRID_MAX)) s = GRID_MAX;
+        return static_cast<uint32_t>(s);
+      };
+      uint32_t x = q((p[0] - lx) * sx), y = q((p[1] - ly) * sy),
+               z = q((p[2] - lz) * sz);
+      codes[i] = (part1by2(x) << 2) | (part1by2(y) << 1) | part1by2(z);
+    }
+  });
+}
+
+// stable LSD radix sort of 30-bit codes, 3 passes of 10-bit digits.
+// codes_sorted[i] = codes[order[i]]; order is the sort permutation.
+void e3_morton_sort(const uint32_t* codes, int64_t n, uint32_t* codes_sorted,
+                    int32_t* order) {
+  constexpr int D = 1 << BITS;  // digit range
+  std::vector<uint32_t> key_a(codes, codes + n), key_b(n);
+  std::vector<int32_t> idx_a(n), idx_b(n);
+  parallel_for(n, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) idx_a[i] = static_cast<int32_t>(i);
+  });
+
+  int nt = num_threads();
+  int64_t chunk = (n + nt - 1) / nt;
+  std::vector<std::vector<int64_t>> hist(nt, std::vector<int64_t>(D));
+
+  uint32_t* ksrc = key_a.data();
+  uint32_t* kdst = key_b.data();
+  int32_t* isrc = idx_a.data();
+  int32_t* idst = idx_b.data();
+
+  for (int pass = 0; pass < 3; ++pass) {
+    int shift = pass * BITS;
+    // per-thread histograms
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; ++t) {
+      int64_t b = t * chunk, e = std::min<int64_t>(n, b + chunk);
+      if (b >= e) { std::fill(hist[t].begin(), hist[t].end(), 0); continue; }
+      ts.emplace_back([&, t, b, e, shift] {
+        auto& h = hist[t];
+        std::fill(h.begin(), h.end(), 0);
+        for (int64_t i = b; i < e; ++i) ++h[(ksrc[i] >> shift) & (D - 1)];
+      });
+    }
+    for (auto& th : ts) th.join();
+    // exclusive prefix over (digit, thread) in digit-major order
+    int64_t sum = 0;
+    for (int d = 0; d < D; ++d)
+      for (int t = 0; t < nt; ++t) {
+        int64_t c = hist[t][d];
+        hist[t][d] = sum;
+        sum += c;
+      }
+    // scatter (stable within each thread's range)
+    ts.clear();
+    for (int t = 0; t < nt; ++t) {
+      int64_t b = t * chunk, e = std::min<int64_t>(n, b + chunk);
+      if (b >= e) continue;
+      ts.emplace_back([&, t, b, e, shift] {
+        auto& h = hist[t];
+        for (int64_t i = b; i < e; ++i) {
+          int64_t pos = h[(ksrc[i] >> shift) & (D - 1)]++;
+          kdst[pos] = ksrc[i];
+          idst[pos] = isrc[i];
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+    std::swap(ksrc, kdst);
+    std::swap(isrc, idst);
+  }
+  // after 3 passes (odd), results are in key_b/idx_b == ksrc/isrc
+  std::memcpy(codes_sorted, ksrc, sizeof(uint32_t) * n);
+  std::memcpy(order, isrc, sizeof(int32_t) * n);
+}
+
+// fused: encode + sort + gather points into Morton order.
+// pts [n,3] -> pts_sorted [n,3], codes_sorted [n], order [n]
+void e3_encode_sort_points(const float* pts, int64_t n, const float* lo,
+                           const float* hi, float* pts_sorted,
+                           uint32_t* codes_sorted, int32_t* order) {
+  std::vector<uint32_t> codes(n);
+  e3_morton_encode(pts, n, lo, hi, codes.data());
+  e3_morton_sort(codes.data(), n, codes_sorted, order);
+  parallel_for(n, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      const float* s = pts + 3 * static_cast<int64_t>(order[i]);
+      float* d = pts_sorted + 3 * i;
+      d[0] = s[0];
+      d[1] = s[1];
+      d[2] = s[2];
+    }
+  });
+}
+
+// gather rows: out[i, :] = src[order[i], :] (threaded, for feature arrays)
+void e3_gather_rows_f32(const float* src, const int32_t* order, int64_t n,
+                        int64_t width, float* out) {
+  parallel_for(n, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i)
+      std::memcpy(out + i * width, src + static_cast<int64_t>(order[i]) * width,
+                  sizeof(float) * width);
+  });
+}
+
+int e3_loader_version() { return 1; }
+
+}  // extern "C"

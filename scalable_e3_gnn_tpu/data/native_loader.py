@@ -1,0 +1,153 @@
+"""ctypes bindings for the native host ingest runtime (native/loader.cpp).
+
+Host-side Morton encode + parallel radix sort for the input pipeline: at
+10M+ points the next shard's spatial sort runs on host CPU threads while the
+device trains on the current one (the device octree build, graph/octree.py,
+then skips its argsort for pre-sorted input).  Bit layout matches
+graph/morton.py exactly (30-bit codes, 10 bits/axis, x in the highest bits).
+
+The shared library is compiled lazily with g++ on first use; everything
+degrades to a numpy fallback when no compiler is available, so the package
+stays importable anywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["available", "morton_encode_sort", "gather_rows", "load_points_bin"]
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "loader.cpp")
+_LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "_native")
+_LIB_PATH = os.path.join(_LIB_DIR, "libe3loader.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+BITS = 10
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        _build_failed = True
+        return None
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-o", _LIB_PATH, src, "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        _build_failed = True
+        return None
+    return ctypes.CDLL(_LIB_PATH)
+
+
+def _get() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lock:
+        if _lib is None and not _build_failed:
+            if os.path.exists(_LIB_PATH):
+                try:
+                    _lib = ctypes.CDLL(_LIB_PATH)
+                except OSError:
+                    _lib = _build()
+            else:
+                _lib = _build()
+            if _lib is not None:
+                _lib.e3_encode_sort_points.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
+                _lib.e3_gather_rows_f32.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ]
+        return _lib
+
+
+def available() -> bool:
+    """True if the native library is (or can be) built and loaded."""
+    return _get() is not None
+
+
+def _np_encode(points: np.ndarray, lo, hi) -> np.ndarray:
+    """Numpy fallback; identical semantics to graph/morton.py."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    scale = (1 << BITS) / (hi - lo)
+    q = np.clip(((points - lo) * scale).astype(np.int64), 0, (1 << BITS) - 1)
+
+    def part(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (
+        (part(q[:, 0]) << 2) | (part(q[:, 1]) << 1) | part(q[:, 2])
+    ).astype(np.uint32)
+
+
+def morton_encode_sort(
+    points: np.ndarray, lo, hi
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (points_sorted [N,3] f32, codes_sorted [N] uint32, order [N] int32).
+
+    Threaded native path when available, numpy otherwise.  ``order`` is the
+    gather permutation: ``points_sorted == points[order]`` (stable).
+    """
+    pts = np.ascontiguousarray(points, np.float32)
+    n = pts.shape[0]
+    lib = _get()
+    if lib is None:
+        codes = _np_encode(pts, lo, hi)
+        order = np.argsort(codes, kind="stable").astype(np.int32)
+        return pts[order], codes[order], order
+    lo_a = np.asarray(lo, np.float32)
+    hi_a = np.asarray(hi, np.float32)
+    out_pts = np.empty_like(pts)
+    out_codes = np.empty((n,), np.uint32)
+    out_order = np.empty((n,), np.int32)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.e3_encode_sort_points(
+        fp(pts), ctypes.c_int64(n), fp(lo_a), fp(hi_a), fp(out_pts),
+        out_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_pts, out_codes, out_order
+
+
+def gather_rows(src: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Threaded ``src[order]`` for [N, F] float32 feature arrays."""
+    src = np.ascontiguousarray(src, np.float32)
+    order = np.ascontiguousarray(order, np.int32)
+    lib = _get()
+    if lib is None:
+        return src[order]
+    out = np.empty((order.shape[0], src.shape[1]), np.float32)
+    lib.e3_gather_rows_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(order.shape[0]), ctypes.c_int64(src.shape[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def load_points_bin(path: str, dim: int = 3) -> np.ndarray:
+    """Memory-map a raw float32 [N, dim] point file (zero-copy until touched)."""
+    return np.memmap(path, dtype=np.float32, mode="r").reshape(-1, dim)

@@ -8,11 +8,20 @@ materializes every GEMM boundary ([N·K, ~2F] tensors) in HBM; this kernel
 keeps the whole chain on-chip, leaving only: read gathered sender features,
 read attributes, write [N, F] aggregates.
 
-Scope (falls back to the jnp path otherwise):
-- hidden irreps = ``Hs x0e + Hv x1o`` (the standard SEGNN lmax=1 hidden),
-  component-major layout;
-- edge attr = sh(1) = [s, v] (dim 4); message input = h_s ‖ h_r ‖ dist²;
-- exactly two gated message layers (the SEGNN default).
+Kernel layout (v2, stacked lanes).  The kernel is VPU-throughput-bound (tile
+size has no effect; measured 21 ms fwd over 2.4M edges at any tile), so the
+math is factored to minimize vector-unit element work:
+
+- the l=1 output block is computed as
+  ``o1_c = cg011 * (v_c * (Xs @ W1S) + s * ((Xv_c * s?) ... @ W1V))`` — the
+  GEMM through the *concatenated* path features of the reference
+  (l1_tensor_prod.py:286-297) distributes over the two row blocks, so the
+  per-component [R, S+V] concats and three narrow [R, S+V] x [S+V, Hv] GEMMs
+  become one [R, S] x [S, Hv] GEMM shared by all three components plus one
+  block-diagonal [R, 3V] x [3V, 3Hv] GEMM over lane-stacked components;
+- all vector-component tuples are kept lane-stacked ([R, 3V] with groups
+  x,y,z) so elementwise ops run at 3x the lane occupancy of per-component
+  [R, V] tensors.
 
 Forward and backward are both Pallas kernels (custom_vjp).  Cotangents for
 geometry inputs (attr, dist², mask) are zero: they are graph constants during
@@ -20,7 +29,8 @@ training.  Weight-gradient accumulation across node tiles relies on the
 sequential TPU grid (init at program 0, accumulate after).
 
 Norm constants are folded into the weight columns at call time, so the kernel
-sees exactly 4 matrices per layer pair.
+sees exactly 4 logical matrices per layer pair (split/block-diagonalized
+outside the kernel).
 """
 
 from __future__ import annotations
@@ -59,7 +69,7 @@ class MessageConfig:
         return 2 * self.hs + 1
 
     @property
-    def v1(self) -> int:  # vectors entering layer 1
+    def v1(self) -> int:  # vector channels (per component) entering layer 1
         return 2 * self.hv
 
 
@@ -81,24 +91,90 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _layer_fwd(x0e, x1o, s, v, w0e, w1o, hs, hv):
-    """One gated L1 TP layer on [R, ·] tiles; returns (m0e, m1o, o0_pre).
+def _rep3(x):
+    """[R, M] -> [R, 3M]: the same block for each vector component."""
+    return jnp.concatenate([x, x, x], axis=-1)
 
-    x0e [R, S]; x1o: tuple of 3 [R, V]; s [R, 1]; v: tuple of 3 [R, 1].
-    w0e [S+V, hs+hv] (cols: scalars then gates); w1o [S+V, hv].
-    """
-    dot = x1o[0] * v[0] + x1o[1] * v[1] + x1o[2] * v[2]
-    f0 = jnp.concatenate([x0e * s, CG110 * dot], axis=-1)
-    o0 = _mm(f0, w0e)  # [R, hs+hv] fp32
-    f1 = tuple(
-        jnp.concatenate([CG011 * x0e * v[c], CG011 * x1o[c] * s], axis=-1)
-        for c in range(3)
+
+def _sumgroups(x, m):
+    """[R, 3M] lane-stacked -> [R, M] sum over the 3 component groups."""
+    return x[:, :m] + x[:, m : 2 * m] + x[:, 2 * m :]
+
+
+def _vstack(attr, m):
+    """[R, 3M]: v_c broadcast over M lanes per component group."""
+    r = attr.shape[0]
+    return jnp.concatenate(
+        [jnp.broadcast_to(attr[:, 1 + c : 2 + c], (r, m)) for c in range(3)],
+        axis=-1,
     )
-    o1 = tuple(_mm(f1[c], w1o) for c in range(3))
+
+
+def _layer_fwd(Xs, Xv, s, vV, vH, W0, W1S, BD, hs, hv):
+    """One gated L1 TP layer, stacked-lane form.
+
+    Xs [R, S] scalar channels; Xv [R, 3V] lane-stacked vector components;
+    s [R, 1]; vV [R, 3V], vH [R, 3hv] = sh vector broadcast per group.
+    W0 [S+V, hs+hv]; W1S [S, hv]; BD [3V, 3hv] = blockdiag(W1V x3).
+    Returns m0 [R, hs] f32, m1 [R, 3hv] f32, residuals.
+    """
+    V = Xv.shape[-1] // 3
+    P = Xv * vV
+    dot = _sumgroups(P, V)  # [R, V]
+    f0 = jnp.concatenate([Xs * s, CG110 * dot], axis=-1)  # [R, S+V]
+    o0 = _mm(f0, W0)  # [R, hs+hv] f32
+    A = _mm(Xs, W1S)  # [R, hv] f32
+    Xvs = Xv * s  # [R, 3V]
+    B = _mm(Xvs, BD)  # [R, 3hv] f32
+    o1 = CG011 * (vH * _rep3(A) + B)  # [R, 3hv] f32
     g = jax.nn.sigmoid(o0[:, hs:])
-    m0e = _silu(o0[:, :hs])
-    m1o = tuple(o1[c] * g for c in range(3))
-    return m0e, m1o, (f0, f1, o0, o1, g)
+    m0 = _silu(o0[:, :hs])
+    m1 = o1 * _rep3(g)
+    return m0, m1, (Xs, Xv, f0, Xvs, o0, o1, g)
+
+
+def _layer_bwd(res, d_m0, d_m1, s, vV, vH, W0, W1S, BD, hs, hv, dt):
+    """VJP of ``_layer_fwd`` wrt inputs and weights (s/v are constants).
+
+    Cotangent intermediates are kept in the input dtype ``dt``: exact in the
+    fp32 parity/test path; in bf16 production mode this halves live VMEM at
+    bf16-training precision.  Weight-grad GEMMs accumulate fp32.
+    Returns d_Xs [R,S], d_Xv [R,3V], dW0, dW1S, dW1V.
+    """
+    Xs, Xv, f0, Xvs, o0, o1, g = res
+    S = Xs.shape[-1]
+    V = Xv.shape[-1] // 3
+    d_o1 = (d_m1 * _rep3(g)).astype(dt)
+    d_g = _sumgroups(d_m1 * o1, hv)
+    d_o0 = jnp.concatenate(
+        [d_m0 * _dsilu(o0[:, :hs]), d_g * _dsigmoid(o0[:, hs:])], axis=-1
+    ).astype(dt)
+    # through step 8: o1 = cg011 * (vH * rep3(A) + B)
+    d_B = CG011 * d_o1  # [R, 3hv]
+    d_A = (CG011 * _sumgroups(d_o1 * vH, hv)).astype(dt)  # [R, hv]
+    # step 7: B = Xvs @ BD
+    d_Xvs = _mm(d_B, BD.T).astype(dt)  # [R, 3V]
+    dW1V = sum(
+        _mm(
+            Xvs[:, c * V : (c + 1) * V].T.astype(dt),
+            d_B[:, c * hv : (c + 1) * hv],
+        )
+        for c in range(3)
+    )  # [V, hv] f32
+    # step 6: Xvs = Xv * s
+    d_Xv = d_Xvs * s
+    # step 5: A = Xs @ W1S
+    d_Xs = _mm(d_A, W1S.T)
+    dW1S = _mm(Xs.T.astype(dt), d_A)
+    # step 4: o0 = f0 @ W0
+    d_f0 = _mm(d_o0, W0.T).astype(dt)
+    dW0 = _mm(f0.T.astype(dt), d_o0)
+    # step 3: f0 = [Xs*s ‖ cg110*dot]
+    d_Xs = (d_Xs + d_f0[:, :S] * s).astype(dt)
+    d_dot = CG110 * d_f0[:, S:]  # [R, V]
+    # steps 1-2: dot = sumgroups(Xv * vV)
+    d_Xv = (d_Xv + _rep3(d_dot) * vV).astype(dt)
+    return d_Xs, d_Xv, dW0, dW1S, dW1V
 
 
 def _expand_matrix(T, K, dtype):
@@ -111,40 +187,53 @@ def _expand_matrix(T, K, dtype):
     return (grp == tgt).astype(dtype)
 
 
+def _build_inputs(cfg, hs_t, hr_rep, d2, attr):
+    """Layer-1 stacked inputs from cm-layout features.
+
+    Xs [R, 2Hs+1] = [hs0e ‖ hr0e ‖ d2]; Xv [R, 3*(2Hv)] groups [hs_c ‖ hr_c]
+    — matching the weight row order of the reference module's path concat
+    (l1_tensor_prod.py:242-297 via ops.tensor_product._extract_*)."""
+    Hs, Hv = cfg.hs, cfg.hv
+    dt = hs_t.dtype
+    Xs = jnp.concatenate([hs_t[:, :Hs], hr_rep[:, :Hs], d2.astype(dt)], axis=-1)
+    Xv = jnp.concatenate(
+        [
+            x
+            for c in range(3)
+            for x in (
+                hs_t[:, Hs + c * Hv : Hs + (c + 1) * Hv],
+                hr_rep[:, Hs + c * Hv : Hs + (c + 1) * Hv],
+            )
+        ],
+        axis=-1,
+    )
+    return Xs, Xv
+
+
 def _fwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
-                w0e1_ref, w1o1_ref, w0e2_ref, w1o2_ref, out_ref):
+                w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref):
     T, K = cfg.tile, cfg.k
     Hs, Hv = cfg.hs, cfg.hv
-    R = T * K
     dt = hs_ref.dtype
 
     hs_t = hs_ref[:]  # [R, F]
-    hr_t = hr_ref[:]  # [T, F]
     E = _expand_matrix(T, K, dt)
-    hr_rep = jnp.dot(E, hr_t, preferred_element_type=jnp.float32).astype(dt)
-    d2 = d2_ref[:]  # [R, 1] pre-flattened
+    hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
     attr = attr_ref[:]
     s = attr[:, 0:1]
-    v = tuple(attr[:, 1 + c : 2 + c] for c in range(3))
+    vV = _vstack(attr, cfg.v1)  # [R, 3*2Hv]
+    vH = _vstack(attr, Hv)  # [R, 3*Hv]
 
-    # layer-1 inputs (cm layout: scalars [0:Hs], vector comp c at Hs+c*Hv)
-    x0e = jnp.concatenate([hs_t[:, :Hs], hr_rep[:, :Hs], d2.astype(dt)], axis=-1)
-    x1o = tuple(
-        jnp.concatenate(
-            [
-                hs_t[:, Hs + c * Hv : Hs + (c + 1) * Hv],
-                hr_rep[:, Hs + c * Hv : Hs + (c + 1) * Hv],
-            ],
-            axis=-1,
-        )
-        for c in range(3)
+    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2_ref[:], attr)
+    m0, m1, _ = _layer_fwd(
+        Xs, Xv, s, vV, vH, w01_ref[:], w1s1_ref[:], bd1_ref[:], Hs, Hv
     )
-    m0e, m1o, _ = _layer_fwd(x0e, x1o, s, v, w0e1_ref[:], w1o1_ref[:], Hs, Hv)
-    m0e = m0e.astype(dt)
-    m1o = tuple(x.astype(dt) for x in m1o)
-    m0e2, m1o2, _ = _layer_fwd(m0e, m1o, s, v, w0e2_ref[:], w1o2_ref[:], Hs, Hv)
-
-    m = jnp.concatenate([m0e2] + [m1o2[c] for c in range(3)], axis=-1)  # [R, F] f32
+    m0 = m0.astype(dt)
+    m1 = m1.astype(dt)
+    m0b, m1b, _ = _layer_fwd(
+        m0, m1, s, vH, vH, w02_ref[:], w1s2_ref[:], bd2_ref[:], Hs, Hv
+    )
+    m = jnp.concatenate([m0b, m1b], axis=-1)  # [R, F] f32 (cm layout)
     m = m * mask_ref[:]
     out_ref[:] = jnp.dot(E.T, m.astype(dt), preferred_element_type=jnp.float32).astype(
         out_ref.dtype
@@ -152,103 +241,55 @@ def _fwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
 
 
 def _bwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
-                w0e1_ref, w1o1_ref, w0e2_ref, w1o2_ref, dagg_ref,
-                dhs_ref, dhr_ref, dw0e1_ref, dw1o1_ref, dw0e2_ref, dw1o2_ref):
+                w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
+                dhs_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
+                dw02_ref, dw1s2_ref, dw1v2_ref):
     T, K = cfg.tile, cfg.k
     Hs, Hv = cfg.hs, cfg.hv
-    R = T * K
     dt = hs_ref.dtype
 
     hs_t = hs_ref[:]
-    hr_t = hr_ref[:]
     E = _expand_matrix(T, K, dt)
-    hr_rep = jnp.dot(E, hr_t, preferred_element_type=jnp.float32).astype(dt)
-    d2 = d2_ref[:]  # [R, 1] pre-flattened
+    hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
     attr = attr_ref[:]
     s = attr[:, 0:1]
-    v = tuple(attr[:, 1 + c : 2 + c] for c in range(3))
+    vV = _vstack(attr, cfg.v1)
+    vH = _vstack(attr, Hv)
     maskf = mask_ref[:]  # [R, 1]
+    w01, w1s1, bd1 = w01_ref[:], w1s1_ref[:], bd1_ref[:]
+    w02, w1s2, bd2 = w02_ref[:], w1s2_ref[:], bd2_ref[:]
 
     # ---- recompute forward ----
-    x0e = jnp.concatenate([hs_t[:, :Hs], hr_rep[:, :Hs], d2.astype(dt)], axis=-1)
-    x1o = tuple(
-        jnp.concatenate(
-            [
-                hs_t[:, Hs + c * Hv : Hs + (c + 1) * Hv],
-                hr_rep[:, Hs + c * Hv : Hs + (c + 1) * Hv],
-            ],
-            axis=-1,
-        )
-        for c in range(3)
-    )
-    w0e1, w1o1, w0e2, w1o2 = w0e1_ref[:], w1o1_ref[:], w0e2_ref[:], w1o2_ref[:]
-    m0e, m1o, res1 = _layer_fwd(x0e, x1o, s, v, w0e1, w1o1, Hs, Hv)
-    m0e = m0e.astype(dt)
-    m1o = tuple(x.astype(dt) for x in m1o)
-    _, _, res2 = _layer_fwd(m0e, m1o, s, v, w0e2, w1o2, Hs, Hv)
+    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2_ref[:], attr)
+    m0, m1, res1 = _layer_fwd(Xs, Xv, s, vV, vH, w01, w1s1, bd1, Hs, Hv)
+    m0 = m0.astype(dt)
+    m1 = m1.astype(dt)
+    _, _, res2 = _layer_fwd(m0, m1, s, vH, vH, w02, w1s2, bd2, Hs, Hv)
 
     # ---- backward ----
-    # cotangent intermediates are kept in the *input dtype*: exact in fp32
-    # test/parity mode; in bf16 production mode this halves live VMEM (the
-    # limit that forces a reduced bwd tile) at bf16-training-level precision.
-    # Weight-grad GEMMs still accumulate fp32 (preferred_element_type).
     d_agg = dagg_ref[:]  # [T, F]
     d_m = jnp.dot(E, d_agg.astype(dt), preferred_element_type=jnp.float32)
     d_m = (d_m * maskf).astype(dt)
-    d_m0e2 = d_m[:, :Hs]
-    d_m1o2 = tuple(d_m[:, Hs + c * Hv : Hs + (c + 1) * Hv] for c in range(3))
+    d_m0b, d_m1b = d_m[:, :Hs], d_m[:, Hs:]
 
-    # layer 2 backward
-    f0b, f1b, o0b, o1b, gb = res2
-    d_o1b = tuple((d_m1o2[c] * gb).astype(dt) for c in range(3))
-    d_gb = d_m1o2[0] * o1b[0] + d_m1o2[1] * o1b[1] + d_m1o2[2] * o1b[2]
-    d_o0b = jnp.concatenate(
-        [d_m0e2 * _dsilu(o0b[:, :Hs]), d_gb * _dsigmoid(o0b[:, Hs:])], axis=-1
-    ).astype(dt)
-    d_f0b = _mm(d_o0b, w0e2.T).astype(dt)
-    dW0e2 = _mm(f0b.T.astype(dt), d_o0b)
-    d_f1b = tuple(_mm(d_o1b[c], w1o2.T).astype(dt) for c in range(3))
-    dW1o2 = sum(_mm(f1b[c].T.astype(dt), d_o1b[c]) for c in range(3))
-
-    # back through layer-2 feature construction (input split: S2=Hs, V2=Hv)
-    # f0b = [m0e*s ‖ cg110 * Σ_c m1o_c*v_c]; f1b_c = [cg011*m0e*v_c ‖ cg011*m1o_c*s]
-    d_m0e = (
-        d_f0b[:, :Hs] * s
-        + sum(CG011 * d_f1b[c][:, :Hs] * v[c] for c in range(3))
-    ).astype(dt)
-    d_m1o = tuple(
-        (CG110 * d_f0b[:, Hs:] * v[c] + CG011 * d_f1b[c][:, Hs:] * s).astype(dt)
-        for c in range(3)
+    d_m0, d_m1, dW02, dW1S2, dW1V2 = _layer_bwd(
+        res2, d_m0b, d_m1b, s, vH, vH, w02, w1s2, bd2, Hs, Hv, dt
+    )
+    d_Xs, d_Xv, dW01, dW1S1, dW1V1 = _layer_bwd(
+        res1, d_m0, d_m1, s, vV, vH, w01, w1s1, bd1, Hs, Hv, dt
     )
 
-    # layer 1 backward (through the gate)
-    f01, f11, o01, o11, g1 = res1
-    d_o11 = tuple((d_m1o[c] * g1).astype(dt) for c in range(3))
-    d_g1 = d_m1o[0] * o11[0] + d_m1o[1] * o11[1] + d_m1o[2] * o11[2]
-    d_o01 = jnp.concatenate(
-        [d_m0e * _dsilu(o01[:, :Hs]), d_g1 * _dsigmoid(o01[:, Hs:])], axis=-1
-    ).astype(dt)
-    d_f01 = _mm(d_o01, w0e1.T).astype(dt)
-    dW0e1 = _mm(f01.T.astype(dt), d_o01)
-    d_f11 = tuple(_mm(d_o11[c], w1o1.T).astype(dt) for c in range(3))
-    dW1o1 = sum(_mm(f11[c].T.astype(dt), d_o11[c]) for c in range(3))
-
-    # back to layer-1 inputs (S1 = 2Hs+1, V1 = 2Hv)
-    S1 = cfg.s1
-    d_x0e = d_f01[:, :S1] * s + sum(
-        CG011 * d_f11[c][:, :S1] * v[c] for c in range(3)
-    )
-    d_x1o = tuple(
-        CG110 * d_f01[:, S1:] * v[c] + CG011 * d_f11[c][:, S1:] * s
-        for c in range(3)
-    )
-
-    # split x0e -> [hs(0:Hs) ‖ hr(Hs:2Hs) ‖ d2]; x1o_c -> [hs ‖ hr]
+    # split layer-1 input cotangents back into sender / receiver features
+    # (Xs = [hs0e ‖ hr0e ‖ d2]; Xv groups = [hs_c ‖ hr_c]); d2 is geometry.
+    V1 = cfg.v1
     d_hs = jnp.concatenate(
-        [d_x0e[:, :Hs]] + [d_x1o[c][:, :Hv] for c in range(3)], axis=-1
+        [d_Xs[:, :Hs]]
+        + [d_Xv[:, c * V1 : c * V1 + Hv] for c in range(3)],
+        axis=-1,
     )
     d_hr_rep = jnp.concatenate(
-        [d_x0e[:, Hs : 2 * Hs]] + [d_x1o[c][:, Hv : 2 * Hv] for c in range(3)],
+        [d_Xs[:, Hs : 2 * Hs]]
+        + [d_Xv[:, c * V1 + Hv : (c + 1) * V1] for c in range(3)],
         axis=-1,
     )
     dhs_ref[:] = d_hs.astype(dhs_ref.dtype)
@@ -260,22 +301,27 @@ def _bwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
 
     @pl.when(i == 0)
     def _():
-        dw0e1_ref[:] = jnp.zeros_like(dw0e1_ref)
-        dw1o1_ref[:] = jnp.zeros_like(dw1o1_ref)
-        dw0e2_ref[:] = jnp.zeros_like(dw0e2_ref)
-        dw1o2_ref[:] = jnp.zeros_like(dw1o2_ref)
+        dw01_ref[:] = jnp.zeros_like(dw01_ref)
+        dw1s1_ref[:] = jnp.zeros_like(dw1s1_ref)
+        dw1v1_ref[:] = jnp.zeros_like(dw1v1_ref)
+        dw02_ref[:] = jnp.zeros_like(dw02_ref)
+        dw1s2_ref[:] = jnp.zeros_like(dw1s2_ref)
+        dw1v2_ref[:] = jnp.zeros_like(dw1v2_ref)
 
-    dw0e1_ref[:] += dW0e1.astype(dw0e1_ref.dtype)
-    dw1o1_ref[:] += dW1o1.astype(dw1o1_ref.dtype)
-    dw0e2_ref[:] += dW0e2.astype(dw0e2_ref.dtype)
-    dw1o2_ref[:] += dW1o2.astype(dw1o2_ref.dtype)
+    dw01_ref[:] += dW01.astype(dw01_ref.dtype)
+    dw1s1_ref[:] += dW1S1.astype(dw1s1_ref.dtype)
+    dw1v1_ref[:] += dW1V1.astype(dw1v1_ref.dtype)
+    dw02_ref[:] += dW02.astype(dw02_ref.dtype)
+    dw1s2_ref[:] += dW1S2.astype(dw1s2_ref.dtype)
+    dw1v2_ref[:] += dW1V2.astype(dw1v2_ref.dtype)
 
 
-def _specs(cfg: MessageConfig, n_tiles: int):
+def _specs(cfg: MessageConfig):
     T, K, F = cfg.tile, cfg.k, cfg.f
-    S1V1 = cfg.s1 + cfg.v1
-    S2V2 = cfg.hs + cfg.hv
+    Hs, Hv = cfg.hs, cfg.hv
+    S1, V1 = cfg.s1, cfg.v1
     row = lambda i: (i, 0)
+    fix = lambda i: (0, 0)
     data_specs = [
         pl.BlockSpec((T * K, F), row, memory_space=pltpu.VMEM),  # hs
         pl.BlockSpec((T, F), row, memory_space=pltpu.VMEM),  # hr
@@ -284,24 +330,22 @@ def _specs(cfg: MessageConfig, n_tiles: int):
         pl.BlockSpec((T * K, 1), row, memory_space=pltpu.VMEM),  # mask (flat)
     ]
     w_specs = [
-        pl.BlockSpec((S1V1, cfg.hs + cfg.hv), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((S1V1, cfg.hv), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((S2V2, cfg.hs + cfg.hv), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((S2V2, cfg.hv), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),  # W0 l1
+        pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),  # W1S l1
+        pl.BlockSpec((3 * V1, 3 * Hv), fix, memory_space=pltpu.VMEM),  # BD l1
+        pl.BlockSpec((Hs + Hv, Hs + Hv), fix, memory_space=pltpu.VMEM),  # W0 l2
+        pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),  # W1S l2
+        pl.BlockSpec((3 * Hv, 3 * Hv), fix, memory_space=pltpu.VMEM),  # BD l2
     ]
     return data_specs, w_specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
-                            w0e1, w1o1, w0e2, w1o2):
-    """agg [N, F] = Σ_k mask · MLP(h_s ‖ h_r ‖ d², sh) — fused on-chip.
-
-    hs [N*K, F] gathered sender features (cm layout); hr [N, F]; d2 [N, K];
-    attr [N*K, 4]; maskf [N, K] float; weights with norms pre-folded.
-    N must be a multiple of cfg.tile (pad outside).
-    """
-    return _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
+def _split_weights(cfg, w0e1, w1o1, w0e2, w1o2):
+    """Reference-layout weights -> kernel form (W0, W1S, blockdiag(W1V))."""
+    eye3 = jnp.eye(3, dtype=w1o1.dtype)
+    bd1 = jnp.kron(eye3, w1o1[cfg.s1 :])  # [3V1, 3Hv]
+    bd2 = jnp.kron(eye3, w1o2[cfg.hs :])  # [3Hv, 3Hv]
+    return (w0e1, w1o1[: cfg.s1], bd1, w0e2, w1o2[: cfg.hs], bd2)
 
 
 # raise the scoped-VMEM cap (default ~16MB) so larger node tiles compile;
@@ -309,11 +353,25 @@ def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
+                            w0e1, w1o1, w0e2, w1o2):
+    """agg [N, F] = Σ_k mask · MLP(h_s ‖ h_r ‖ d², sh) — fused on-chip.
+
+    hs [N*K, F] gathered sender features (cm layout); hr [N, F]; d2 [N*K, 1];
+    attr [N*K, 4]; maskf [N*K, 1] float; weights with norms pre-folded, in the
+    reference row layout (w0e [S+V, hs+hv], w1o [S+V, hv]).
+    N must be a multiple of cfg.tile (pad outside).
+    """
+    return _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
+
+
 def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
     n = hr.shape[0]
     assert n % cfg.tile == 0, (n, cfg.tile)
     n_tiles = n // cfg.tile
-    data_specs, w_specs = _specs(cfg, n_tiles)
+    data_specs, w_specs = _specs(cfg)
+    ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid=(n_tiles,),
@@ -321,7 +379,7 @@ def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
         out_specs=pl.BlockSpec((cfg.tile, cfg.f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, cfg.f), hr.dtype),
         compiler_params=_COMPILER_PARAMS,
-    )(hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
+    )(hs, hr, d2, attr, maskf, *ws)
 
 
 def _vjp_fwd(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
@@ -339,27 +397,35 @@ def _vjp_bwd(cfg, residuals, d_agg):
     cfg = dataclasses.replace(cfg, tile=bt)
     n = hr.shape[0]
     n_tiles = n // cfg.tile
-    data_specs, w_specs = _specs(cfg, n_tiles)
+    data_specs, w_specs = _specs(cfg)
     T, K, F = cfg.tile, cfg.k, cfg.f
+    Hs, Hv = cfg.hs, cfg.hv
+    S1, V1 = cfg.s1, cfg.v1
+    ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
+    fix = lambda i: (0, 0)
     # weight grads accumulate over ~N/tile grid steps: always fp32 in-kernel,
     # cast back to the weight dtype after the call
     out_shapes = (
         jax.ShapeDtypeStruct(hs.shape, hs.dtype),
         jax.ShapeDtypeStruct(hr.shape, hr.dtype),
-        jax.ShapeDtypeStruct(w0e1.shape, jnp.float32),
-        jax.ShapeDtypeStruct(w1o1.shape, jnp.float32),
-        jax.ShapeDtypeStruct(w0e2.shape, jnp.float32),
-        jax.ShapeDtypeStruct(w1o2.shape, jnp.float32),
+        jax.ShapeDtypeStruct((S1 + V1, Hs + Hv), jnp.float32),
+        jax.ShapeDtypeStruct((S1, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((V1, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hs + Hv, Hs + Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hs, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hv, Hv), jnp.float32),
     )
     out_specs = (
         pl.BlockSpec((T * K, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(w0e1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(w1o1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(w0e2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(w1o2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((V1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs + Hv, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hv, Hv), fix, memory_space=pltpu.VMEM),
     )
-    dhs, dhr, dw0e1, dw1o1, dw0e2, dw1o2 = pl.pallas_call(
+    (dhs, dhr, dw01, dw1s1, dw1v1, dw02, dw1s2, dw1v2) = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid=(n_tiles,),
         in_specs=data_specs
@@ -368,12 +434,13 @@ def _vjp_bwd(cfg, residuals, d_agg):
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=_COMPILER_PARAMS,
-    )(hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2, d_agg)
+    )(hs, hr, d2, attr, maskf, *ws, d_agg)
     zeros = lambda x: jnp.zeros_like(x)
     wdt = w0e1.dtype
+    d_w1o1 = jnp.concatenate([dw1s1, dw1v1], axis=0).astype(wdt)
+    d_w1o2 = jnp.concatenate([dw1s2, dw1v2], axis=0).astype(wdt)
     return (dhs, dhr, zeros(d2), zeros(attr), zeros(maskf),
-            dw0e1.astype(wdt), dw1o1.astype(wdt),
-            dw0e2.astype(wdt), dw1o2.astype(wdt))
+            dw01.astype(wdt), d_w1o1, dw02.astype(wdt), d_w1o2)
 
 
 fused_message_aggregate.defvjp(_vjp_fwd, _vjp_bwd)

@@ -140,6 +140,13 @@ class SEGNNLayer:
         )
         self._pallas_hs = hr[0].mul if self.use_pallas else 0
         self._pallas_hv = hr[1].mul if self.use_pallas else 0
+        # generic fused kernel (kernels/fused_message_generic.py): any hidden
+        # irreps / attr order, cm layout, generic TensorProduct message layers
+        # (the L1 fast-path TP uses 3-D reshapes that do not lower in Mosaic)
+        self.use_pallas_generic = (
+            use_pallas and not self.use_pallas and layout == "cm"
+        )
+        self._generic_kernels = {}  # (k, n) -> FusedMessageGeneric
         a = Irreps(attr_irreps)
         self.hidden_irreps = h
         edge_in = h + h + Irreps("1x0e")  # h_s ‖ h_r ‖ dist²
@@ -150,6 +157,10 @@ class SEGNNLayer:
                 O3TensorProductGate(cur, a, h, act=act, layout_in=layout, layout_out=layout)
             )
             cur = h
+        self.use_pallas_generic = self.use_pallas_generic and all(
+            isinstance(l.tp, TensorProduct) and l.gate is not None
+            for l in self.message_layers
+        )
         node_in = h + h
         self.update_layers: List[O3TensorProductGate] = []
         cur = node_in
@@ -286,12 +297,15 @@ class SEGNNLayer:
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
                     dist2_b, mask_b, reverse_slot=rs,
                 )
+            if self.use_pallas_generic and h_local_b.shape[0] % 8 == 0:
+                return self._fused_messages_generic(
+                    msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
+                    dist2_b, mask_b, reverse_slot=rs,
+                )
             if rs is not None and h_ext_ is h_local_b:
                 hs = take_dense_symmetric(h_ext_, senders_b, rs, mask_b)
             else:
-                hs = jnp.take(
-                    h_ext_, jnp.minimum(senders_b, h_ext_.shape[0] - 1), axis=0
-                )
+                hs = jnp.take(h_ext_, senders_b, axis=0, mode="fill", fill_value=0)
             hr = jnp.broadcast_to(h_local_b[:, None, :], hs.shape)
             m = jnp.concatenate([hs, hr, dist2_b[..., None]], axis=-1)
             for i, layer in enumerate(self.message_layers):
@@ -342,14 +356,21 @@ class SEGNNLayer:
 
         n, k = senders.shape
         f = h_local.shape[-1]
+        # prefer a tile that divides n exactly (multiple of 16 for bf16
+        # sublane tiling): kernel time is tile-insensitive, and an exact
+        # divisor avoids full-array pad copies of the [N*K, F] operands
         tile = 64
+        for t in range(256, 15, -16):
+            if n % t == 0:
+                tile = t
+                break
         npad = -(-n // tile) * tile
         cfg = MessageConfig(hs=self._pallas_hs, hv=self._pallas_hv, k=k, tile=tile)
 
         if reverse_slot is not None and h_ext is h_local:
             hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
         else:
-            hs = jnp.take(h_ext, jnp.minimum(senders, h_ext.shape[0] - 1), axis=0)
+            hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
         hs = hs.reshape(n * k, f)
         attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
         # d2/mask flattened to [N*K, 1] outside the kernel (Mosaic cannot
@@ -384,6 +405,37 @@ class SEGNNLayer:
             cfg, hs, h_local_p, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2
         )
         return agg[:n]
+
+    def _fused_messages_generic(
+        self, params, h_local, h_ext, senders, edge_attr, edge_dist2,
+        edge_mask, reverse_slot=None,
+    ):
+        """Dispatch the message MLP + aggregation to the generic fused kernel."""
+        from ..kernels.fused_message_generic import FusedMessageGeneric
+
+        n, k = senders.shape
+        f = h_local.shape[-1]
+        key = (k, n)
+        if key not in self._generic_kernels:
+            tile = next((t for t in range(32, 7, -8) if n % t == 0), None)
+            bwd = next((t for t in range(16, 7, -8) if n % t == 0), tile)
+            self._generic_kernels[key] = FusedMessageGeneric(
+                self.message_layers, k, tile=tile, bwd_tile=bwd
+            )
+        kern = self._generic_kernels[key]
+
+        if reverse_slot is not None and h_ext is h_local:
+            hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
+        else:
+            hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
+        hs = hs.reshape(n * k, f)
+        attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
+        d2 = edge_dist2.reshape(n * k, 1)
+        maskf = edge_mask.astype(h_local.dtype).reshape(n * k, 1)
+        ptuple = tuple(
+            params[f"msg_{i}"] for i in range(len(self.message_layers))
+        )
+        return kern(ptuple, hs, h_local, d2, attr, maskf)
 
     def __call__(
         self,

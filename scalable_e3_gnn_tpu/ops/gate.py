@@ -76,12 +76,16 @@ class Gate:
             for mul, d in self._gated_shapes:
                 blk = gated[..., off : off + mul * d]
                 if self.layout == "cm":
-                    blk = blk.reshape(x.shape[:-1] + (d, mul))
-                    blk = blk * g[..., None, gi : gi + mul]
+                    # component-major: gate tiled d times along lanes — pure
+                    # 2-D ops, so this path also lowers inside Pallas kernels
+                    gg = g[..., gi : gi + mul]
+                    rep = jnp.concatenate([gg] * d, axis=-1) if d > 1 else gg
+                    blk = blk * rep
+                    out.append(blk)
                 else:
                     blk = blk.reshape(x.shape[:-1] + (mul, d))
                     blk = blk * g[..., gi : gi + mul, None]
-                out.append(blk.reshape(x.shape[:-1] + (mul * d,)))
+                    out.append(blk.reshape(x.shape[:-1] + (mul * d,)))
                 gi += mul
                 off += mul * d
         return jnp.concatenate(out, axis=-1)

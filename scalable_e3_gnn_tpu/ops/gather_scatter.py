@@ -135,9 +135,13 @@ def take_dense_symmetric(
     cotangents at the reverse slots of v's own K incident edges — a dense
     [N, K] gather + sum, ~3x faster on TPU than the scatter-add XLA emits for
     the transpose of a gather.
+
+    Out-of-range slots (padding: ``senders == n``, ``reverse_slot == n*k``)
+    use the XLA gather fill mode — rows read as 0 with no clamp ops and no
+    [N, K, F] mask select (each of those materializes a full edge-sized
+    tensor in HBM; see the HLO audit in docs/PERF.md).
     """
-    n = h.shape[0]
-    return jnp.take(h, jnp.minimum(senders, n - 1), axis=0)
+    return jnp.take(h, senders, axis=0, mode="fill", fill_value=0)
 
 
 def _tds_fwd(h, senders, reverse_slot, mask):
@@ -153,9 +157,11 @@ def _tds_bwd(res, g):
     n, k = senders.shape
     f = g.shape[-1]
     gf = g.reshape(n * k, f)
-    rs = jnp.minimum(reverse_slot, n * k - 1)
-    picked = jnp.take(gf, rs.reshape(-1), axis=0).reshape(n, k, f)
-    d_h = jnp.where(mask[..., None], picked, 0.0).sum(axis=1)
+    # non-mutual/padding slots carry reverse_slot == n*k -> filled with 0
+    picked = jnp.take(
+        gf, reverse_slot.reshape(-1), axis=0, mode="fill", fill_value=0
+    ).reshape(n, k, f)
+    d_h = picked.sum(axis=1)
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return d_h, z(senders), z(reverse_slot), z(mask)
 

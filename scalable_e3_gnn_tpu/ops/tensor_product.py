@@ -494,12 +494,15 @@ class TensorProduct:
                     for i, j in zip(*np.nonzero(cg[:, :, k])):
                         c = float(cg[i, j, k])
                         x1i = comp1(sl_1, mul1, l1, int(i))  # [..., mul1]
-                        x2j = in2[..., sl_2].reshape(lead + (mul2, 2 * l2 + 1))[
-                            ..., :, int(j)
-                        ]  # [..., mul2]
                         if mul2 == 1:
+                            # 2-D slice (no reshape): keeps this path Mosaic-
+                            # lowerable inside the generic fused Pallas kernel
+                            x2j = in2[..., sl_2.start + int(j) : sl_2.start + int(j) + 1]
                             term = c * x1i * x2j
                         else:
+                            x2j = in2[..., sl_2].reshape(
+                                lead + (mul2, 2 * l2 + 1)
+                            )[..., :, int(j)]
                             term = (
                                 c * x1i[..., :, None] * x2j[..., None, :]
                             ).reshape(lead + (mul1 * mul2,))
@@ -516,8 +519,15 @@ class TensorProduct:
                     f, params[name], preferred_element_type=jnp.float32
                 )  # [..., w]
                 comp_res.append((self._norm[io] * o).astype(dt))
+            if self.layout_out == "cm":
+                # component-major flat layout == lane concat of components
+                blk = (
+                    jnp.concatenate(comp_res, axis=-1) if k3 > 1 else comp_res[0]
+                )
+                out_parts.append(blk)
+                continue
             blk = jnp.stack(comp_res, axis=-2)  # [..., k3, w]
-            if self.layout_out == "mul" and k3 > 1:
+            if k3 > 1:
                 blk = jnp.swapaxes(blk, -1, -2)
             out_parts.append(blk.reshape(lead + (mo.dim,)))
         return jnp.concatenate(out_parts, axis=-1)

@@ -1,0 +1,88 @@
+"""Generic fused message kernel (any-lmax) vs the jnp path — interpreter mode.
+
+Mirrors tests/test_fused_message.py for the lmax=2 configuration (config 4):
+forward equality, gradients through the in-kernel jax.vjp backward, and mask
+handling.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from scalable_e3_gnn_tpu.core.irreps import Irreps
+from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
+from scalable_e3_gnn_tpu.graph.octree import build_octree
+from scalable_e3_gnn_tpu.graph.radius import radius_graph_brute
+from scalable_e3_gnn_tpu.models.segnn import SEGNN
+
+LO, HI = (-4.0,) * 3, (4.0,) * 3
+HIDDEN = "8x0e+4x1o+2x2e"
+
+
+def _models(n_layers=2):
+    a = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+              num_layers=n_layers, layout="cm", lmax_attr=2)
+    b = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+              num_layers=n_layers, layout="cm", lmax_attr=2, use_pallas=True)
+    assert b.layers[0].use_pallas_generic
+    assert not b.layers[0].use_pallas
+    return a, b
+
+
+def _graph(n, seed=0, k=8):
+    rng = np.random.default_rng(seed)
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tree = build_octree(jnp.asarray(pts), LO, HI, num_levels=4)
+    e = radius_graph_brute(tree.points, 0.7, max_neighbors=k)
+    feats = jnp.asarray(rng.standard_normal((n, 5)), jnp.float32)
+    return DenseEdgeGraph.from_radius_edges(feats, tree.points, e,
+                                            symmetrize=True)
+
+
+@pytest.mark.parametrize("n", [128, 120])  # 120: tile=8 fallback path
+def test_generic_forward_matches(n):
+    m_ref, m_pal = _models()
+    g = _graph(n)
+    params = m_ref.init(jax.random.key(0))
+    ref = np.array(m_ref(params, g))
+    with pltpu.force_tpu_interpret_mode():
+        pal = np.array(m_pal(params, g))
+    np.testing.assert_allclose(pal, ref, atol=2e-5)
+
+
+def test_generic_gradients_match():
+    m_ref, m_pal = _models()
+    g = _graph(128, seed=1)
+    params = m_ref.init(jax.random.key(1))
+    tgt = jnp.asarray(np.random.default_rng(2).standard_normal((128, 3)),
+                      jnp.float32)
+
+    def loss(model):
+        return lambda p: ((model(p, g) - tgt) ** 2).mean()
+
+    g_ref = jax.grad(loss(m_ref))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss(m_pal))(params)
+    key = lambda kv: jax.tree_util.keystr(kv[0])
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_ref), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(g_pal), key=key),
+    ):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=3e-5,
+                                   err_msg=str(ka))
+
+
+def test_generic_respects_mask():
+    m_ref, m_pal = _models(n_layers=1)
+    g = _graph(128, seed=3)
+    params = m_ref.init(jax.random.key(2))
+    mask2 = np.array(g.edge_mask)
+    mask2[:, ::2] = False
+    g2 = g._replace(edge_mask=jnp.asarray(mask2))
+    ref = np.array(m_ref(params, g2))
+    with pltpu.force_tpu_interpret_mode():
+        pal = np.array(m_pal(params, g2))
+    np.testing.assert_allclose(pal, ref, atol=2e-5)
