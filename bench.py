@@ -126,7 +126,11 @@ def main():
     state = make_train_state(params, opt)
 
     (state, m), step_s = _timed(lambda s: step(s, graph, attrs, target), state, iters=10)
-    fwd = jax.jit(lambda p: model(p, graph, attrs=attrs))
+    # inference fwd: per-tile compact sender tables (tabled gather) win for
+    # fwd-only (A/B on TPU v5e: 77 vs 88 ms); training step stays untabled
+    # (297 vs 303 ms) — the tabled backward's reverse-table pass is a wash.
+    graph_t = graph.with_gather_tables(tile=64)
+    fwd = jax.jit(lambda p: model(p, graph_t, attrs=attrs))
     _, fwd_s = _timed(fwd, state.params, iters=10)
 
     edges_per_s = num_edges / step_s

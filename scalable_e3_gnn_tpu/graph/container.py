@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SteerableGraph"]
+__all__ = ["SteerableGraph", "DenseEdgeGraph"]
 
 
 @jax.tree_util.register_dataclass
@@ -81,6 +81,15 @@ class DenseEdgeGraph:
     # present only on symmetrized graphs (graph.radius.symmetrize_dense):
     # enables the scatter-free sender-gradient path
     reverse_slot: Optional[jnp.ndarray] = None  # [N, K] int32
+    # per-tile compact sender tables (``with_gather_tables``): the fused
+    # message kernel gathers only the ~U unique senders of each node tile
+    # (h[gather_tab], ~4x less HBM traffic than the [N*K, F] row expansion,
+    # which then happens on-chip via a one-hot MXU matmul), and sender
+    # gradients come back through a dense reverse-table gather (no scatter).
+    gather_loc: Optional[jnp.ndarray] = None  # [Npad, K] int32 -> [0, U]
+    gather_tab: Optional[jnp.ndarray] = None  # [ntiles, U] int32 node ids
+    gather_rev: Optional[jnp.ndarray] = None  # [Npad, Q] int32 flat tab slots
+    gather_tile: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     def _replace(self, **kw) -> "DenseEdgeGraph":
         return dataclasses.replace(self, **kw)
@@ -132,3 +141,79 @@ class DenseEdgeGraph:
         )
         rel = xs - self.positions[:, None, :]
         return jnp.where(self.edge_mask[..., None], rel, 0.0)
+
+    def with_gather_tables(
+        self, tile: int = 64, table_size: int = 0, rev_size: int = 0
+    ) -> "DenseEdgeGraph":
+        """Precompute per-tile compact sender tables (host-side, numpy).
+
+        Morton-ordered point clouds have strong tile locality: a tile of
+        ``tile`` consecutive receivers touches only a few hundred unique
+        senders (measured: max 356 at tile=64 for the 100k/K=24 config, vs
+        tile*K = 1536 slot rows).  Per tile i we store the sorted unique
+        sender ids ``gather_tab[i]`` (pad: Npad, reads as 0 via fill mode),
+        each slot's index into its tile's table ``gather_loc`` (pad: U), and
+        per node the flat table positions where it appears ``gather_rev``
+        (pad: ntiles*U) — max 11 tiles/node measured, so sender gradients are
+        a dense [N, Q] gather-sum, never a scatter.
+
+        Geometry-static: runs once per graph on host (concrete arrays, not
+        under jit).  ``table_size``/``rev_size`` override the measured U/Q
+        (e.g. to share one compiled kernel across graphs).
+        """
+        import numpy as np
+
+        senders = np.asarray(self.senders)
+        mask = np.asarray(self.edge_mask)
+        n, k = senders.shape
+        ntiles = -(-n // tile)
+        npad = ntiles * tile
+        s = np.full((npad, k), npad, np.int64)
+        s[:n] = np.where(mask, senders, npad)
+        s = s.reshape(ntiles, tile * k)
+
+        order = np.argsort(s, axis=1, kind="stable")
+        ss = np.take_along_axis(s, order, axis=1)
+        new = np.ones_like(ss, bool)
+        new[:, 1:] = ss[:, 1:] != ss[:, :-1]
+        real = ss < npad
+        newreal = new & real
+        # unique-rank of each sorted slot within its tile
+        rank = np.cumsum(newreal, axis=1) - 1
+        counts = newreal.sum(axis=1)
+        u_needed = int(counts.max()) if ntiles else 0
+        u = table_size or (-(-max(u_needed, 1) // 128) * 128)
+        if u < u_needed:
+            raise ValueError(f"table_size {u} < required {u_needed}")
+
+        tab = np.full((ntiles, u), npad, np.int32)
+        ti = np.broadcast_to(np.arange(ntiles)[:, None], ss.shape)
+        tab[ti[newreal], rank[newreal]] = ss[newreal].astype(np.int32)
+
+        loc_sorted = np.where(real, rank, u).astype(np.int32)
+        loc = np.full_like(loc_sorted, u)
+        np.put_along_axis(loc, order, loc_sorted, axis=1)
+        loc = loc.reshape(npad, k)
+
+        # reverse table: flat tab positions per node id
+        flat = tab.ravel()
+        sel = np.nonzero(flat < n)[0]
+        vals = flat[sel]
+        vorder = np.argsort(vals, kind="stable")
+        sv, sp = vals[vorder], sel[vorder]
+        starts = np.searchsorted(sv, np.arange(n))
+        ends = np.searchsorted(sv, np.arange(n) + 1)
+        q_needed = int((ends - starts).max()) if n else 0
+        q = rev_size or (-(-max(q_needed, 1) // 4) * 4)
+        if q < q_needed:
+            raise ValueError(f"rev_size {q} < required {q_needed}")
+        rev = np.full((npad, q), ntiles * u, np.int32)
+        within = np.arange(len(sv)) - starts[sv]
+        rev[sv, within] = sp.astype(np.int32)
+
+        return self._replace(
+            gather_loc=jnp.asarray(loc),
+            gather_tab=jnp.asarray(tab),
+            gather_rev=jnp.asarray(rev),
+            gather_tile=tile,
+        )

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 CG110 = 1.0 / math.sqrt(3.0)
 CG011 = 1.0 / math.sqrt(3.0)
 
-__all__ = ["MessageConfig", "fused_message_aggregate"]
+__all__ = ["MessageConfig", "fused_message_aggregate", "fused_message_aggregate_tabled"]
 
 
 @dataclass(frozen=True)
@@ -59,6 +59,7 @@ class MessageConfig:
     k: int  # neighbor slots per node
     tile: int = 64  # node rows per grid step (fwd)
     bwd_tile: int = 0  # node rows per grid step (bwd); 0 = tile // 2
+    u: int = 0  # compact sender-table size (tabled gather path); 0 = off
 
     @property
     def f(self) -> int:  # flat hidden dim (cm layout)
@@ -210,14 +211,25 @@ def _build_inputs(cfg, hs_t, hr_rep, d2, attr):
     return Xs, Xv
 
 
-def _fwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
-                w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref):
-    T, K = cfg.tile, cfg.k
-    Hs, Hv = cfg.hs, cfg.hv
-    dt = hs_ref.dtype
+def _onehot(loc, u, dt):
+    """[R, 1] int32 table indices -> [R, u] 0/1 selection matrix in ``dt``.
 
-    hs_t = hs_ref[:]  # [R, F]
-    E = _expand_matrix(T, K, dt)
+    Row r selects table entry loc[r]; loc == u (padding / masked slot)
+    selects nothing, so the expanded row reads as 0 — matching the XLA
+    ``mode="fill"`` gather semantics of the untabled path."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (loc.shape[0], u), 1)
+    return (i == loc).astype(dt)
+
+
+def _fwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
+              w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref,
+              tile):
+    """Shared forward body given the expanded sender rows ``hs_t`` [R, F]."""
+    K = cfg.k
+    Hs, Hv = cfg.hs, cfg.hv
+    dt = hs_t.dtype
+
+    E = _expand_matrix(tile, K, dt)
     hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
     attr = attr_ref[:]
     s = attr[:, 0:1]
@@ -240,15 +252,34 @@ def _fwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
     )
 
 
-def _bwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
-                w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
-                dhs_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
-                dw02_ref, dw1s2_ref, dw1v2_ref):
-    T, K = cfg.tile, cfg.k
-    Hs, Hv = cfg.hs, cfg.hv
-    dt = hs_ref.dtype
+def _fwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
+                w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref):
+    _fwd_tail(cfg, hs_ref[:], hr_ref, d2_ref, attr_ref, mask_ref,
+              w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref,
+              cfg.tile)
 
-    hs_t = hs_ref[:]
+
+def _fwd_kernel_tab(cfg: MessageConfig, hu_ref, hr_ref, loc_ref, d2_ref,
+                    attr_ref, mask_ref, w01_ref, w1s1_ref, bd1_ref, w02_ref,
+                    w1s2_ref, bd2_ref, out_ref):
+    dt = hr_ref.dtype
+    oh = _onehot(loc_ref[:], cfg.u, dt)
+    hs_t = jnp.dot(oh, hu_ref[:], preferred_element_type=jnp.float32).astype(dt)
+    _fwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
+              w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref,
+              cfg.tile)
+
+
+def _bwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
+              w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref,
+              dagg_ref, tile):
+    """Shared backward body: recompute + VJP given expanded ``hs_t`` [R, F].
+
+    Returns (d_hs [R, F], d_hr [T, F] f32, 6 weight-grad tiles f32)."""
+    T, K = tile, cfg.k
+    Hs, Hv = cfg.hs, cfg.hv
+    dt = hs_t.dtype
+
     E = _expand_matrix(T, K, dt)
     hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
     attr = attr_ref[:]
@@ -292,28 +323,68 @@ def _bwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
         + [d_Xv[:, c * V1 + Hv : (c + 1) * V1] for c in range(3)],
         axis=-1,
     )
-    dhs_ref[:] = d_hs.astype(dhs_ref.dtype)
-    dhr_ref[:] = jnp.dot(
-        E.T, d_hr_rep.astype(dt), preferred_element_type=jnp.float32
-    ).astype(dhr_ref.dtype)
+    d_hr = jnp.dot(E.T, d_hr_rep.astype(dt), preferred_element_type=jnp.float32)
+    return d_hs, d_hr, (dW01, dW1S1, dW1V1, dW02, dW1S2, dW1V2)
 
+
+def _accum_weight_grads(refs, vals):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        dw01_ref[:] = jnp.zeros_like(dw01_ref)
-        dw1s1_ref[:] = jnp.zeros_like(dw1s1_ref)
-        dw1v1_ref[:] = jnp.zeros_like(dw1v1_ref)
-        dw02_ref[:] = jnp.zeros_like(dw02_ref)
-        dw1s2_ref[:] = jnp.zeros_like(dw1s2_ref)
-        dw1v2_ref[:] = jnp.zeros_like(dw1v2_ref)
+        for r in refs:
+            r[:] = jnp.zeros_like(r)
 
-    dw01_ref[:] += dW01.astype(dw01_ref.dtype)
-    dw1s1_ref[:] += dW1S1.astype(dw1s1_ref.dtype)
-    dw1v1_ref[:] += dW1V1.astype(dw1v1_ref.dtype)
-    dw02_ref[:] += dW02.astype(dw02_ref.dtype)
-    dw1s2_ref[:] += dW1S2.astype(dw1s2_ref.dtype)
-    dw1v2_ref[:] += dW1V2.astype(dw1v2_ref.dtype)
+    for r, v in zip(refs, vals):
+        r[:] += v.astype(r.dtype)
+
+
+def _bwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
+                w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
+                dhs_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
+                dw02_ref, dw1s2_ref, dw1v2_ref):
+    d_hs, d_hr, dws = _bwd_tail(
+        cfg, hs_ref[:], hr_ref, d2_ref, attr_ref, mask_ref,
+        w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
+        cfg.tile,
+    )
+    dhs_ref[:] = d_hs.astype(dhs_ref.dtype)
+    dhr_ref[:] = d_hr.astype(dhr_ref.dtype)
+    _accum_weight_grads(
+        (dw01_ref, dw1s1_ref, dw1v1_ref, dw02_ref, dw1s2_ref, dw1v2_ref), dws
+    )
+
+
+def _bwd_kernel_tab(cfg: MessageConfig, sub: int, hu_ref, hr_ref, loc_ref,
+                    d2_ref, attr_ref, mask_ref, w01_ref, w1s1_ref, bd1_ref,
+                    w02_ref, w1s2_ref, bd2_ref, dagg_ref,
+                    dhu_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
+                    dw02_ref, dw1s2_ref, dw1v2_ref):
+    """Tabled backward: sender cotangents fold into the per-tile table via
+    onehot^T (MXU) instead of a [N*K, F] per-edge tensor; ``sub`` backward
+    sub-tiles share each table block and accumulate into the same d_hu block
+    (sequential TPU grid; the block flushes when its index changes)."""
+    dt = hr_ref.dtype
+    oh = _onehot(loc_ref[:], cfg.u, dt)
+    hs_t = jnp.dot(oh, hu_ref[:], preferred_element_type=jnp.float32).astype(dt)
+    d_hs, d_hr, dws = _bwd_tail(
+        cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
+        w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
+        cfg.tile,
+    )
+    dhr_ref[:] = d_hr.astype(dhr_ref.dtype)
+    d_hu = jnp.dot(oh.T, d_hs.astype(dt), preferred_element_type=jnp.float32)
+
+    i = pl.program_id(0)
+
+    @pl.when(i % sub == 0)
+    def _():
+        dhu_ref[:] = jnp.zeros_like(dhu_ref)
+
+    dhu_ref[:] += d_hu.astype(dhu_ref.dtype)
+    _accum_weight_grads(
+        (dw01_ref, dw1s1_ref, dw1v1_ref, dw02_ref, dw1s2_ref, dw1v2_ref), dws
+    )
 
 
 def _specs(cfg: MessageConfig):
@@ -444,3 +515,156 @@ def _vjp_bwd(cfg, residuals, d_agg):
 
 
 fused_message_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Tabled-gather variant: per-tile compact sender tables
+# (graph.container.DenseEdgeGraph.with_gather_tables).  The XLA gather only
+# fetches the ~U unique senders per tile (hu = h[gtab], ~4x less HBM traffic
+# than the [N*K, F] expansion), row expansion happens on-chip via a one-hot
+# MXU matmul, and sender gradients come back as a dense reverse-table
+# gather-sum — no [N*K, F] per-edge cotangent tensor and no scatter.
+# ---------------------------------------------------------------------------
+
+
+def _specs_tab(cfg: MessageConfig, tile: int, sub: int):
+    """Input specs for the tabled kernels at node-tile size ``tile`` where
+    ``sub`` consecutive grid steps share one table block."""
+    K, F, U = cfg.k, cfg.f, cfg.u
+    S1, V1 = cfg.s1, cfg.v1
+    Hs, Hv = cfg.hs, cfg.hv
+    row = lambda i: (i, 0)
+    tab = lambda i: (i // sub, 0)
+    fix = lambda i: (0, 0)
+    data_specs = [
+        pl.BlockSpec((U, F), tab, memory_space=pltpu.VMEM),  # hu (table rows)
+        pl.BlockSpec((tile, F), row, memory_space=pltpu.VMEM),  # h (receivers)
+        pl.BlockSpec((tile * K, 1), row, memory_space=pltpu.VMEM),  # loc
+        pl.BlockSpec((tile * K, 1), row, memory_space=pltpu.VMEM),  # d2
+        pl.BlockSpec((tile * K, 4), row, memory_space=pltpu.VMEM),  # attr
+        pl.BlockSpec((tile * K, 1), row, memory_space=pltpu.VMEM),  # mask
+    ]
+    w_specs = [
+        pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * V1, 3 * Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs + Hv, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * Hv, 3 * Hv), fix, memory_space=pltpu.VMEM),
+    ]
+    return data_specs, w_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_message_aggregate_tabled(cfg: MessageConfig, h, d2, attr, maskf,
+                                   loc, gtab, rtab,
+                                   w0e1, w1o1, w0e2, w1o2):
+    """agg [N, F] — tabled-gather fused message kernel.
+
+    h [N, F] node features (cm layout), N a multiple of cfg.tile; d2/attr/
+    maskf [N*K, ·] flattened edge geometry; loc [N*K, 1] int32 slot -> table
+    index (pad = U); gtab [ntiles, U] int32 table node ids (pad = N);
+    rtab [N, Q] int32 flat table positions per node (pad = ntiles*U).
+    cfg.tile must equal the graph's gather_tile and cfg.u its table size."""
+    return _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab,
+                         w0e1, w1o1, w0e2, w1o2)
+
+
+def _take_rows(a, idx):
+    return jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+
+
+def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2):
+    n = h.shape[0]
+    assert n % cfg.tile == 0, (n, cfg.tile)
+    n_tiles = n // cfg.tile
+    assert gtab.shape == (n_tiles, cfg.u), (gtab.shape, n_tiles, cfg.u)
+    hu = _take_rows(h, gtab.reshape(-1))  # [ntiles*U, F]
+    data_specs, w_specs = _specs_tab(cfg, cfg.tile, 1)
+    ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_tab, cfg),
+        grid=(n_tiles,),
+        in_specs=data_specs + w_specs,
+        out_specs=pl.BlockSpec((cfg.tile, cfg.f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cfg.f), h.dtype),
+        compiler_params=_COMPILER_PARAMS,
+    )(hu, h, loc, d2, attr, maskf, *ws)
+
+
+def _vjp_fwd_tab(cfg, h, d2, attr, maskf, loc, gtab, rtab,
+                 w0e1, w1o1, w0e2, w1o2):
+    out = _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab,
+                        w0e1, w1o1, w0e2, w1o2)
+    return out, (h, d2, attr, maskf, loc, gtab, rtab, w0e1, w1o1, w0e2, w1o2)
+
+
+def _vjp_bwd_tab(cfg, residuals, d_agg):
+    import dataclasses
+
+    h, d2, attr, maskf, loc, gtab, rtab, w0e1, w1o1, w0e2, w1o2 = residuals
+    gather_tile = cfg.tile
+    bt = cfg.bwd_tile or (cfg.tile // 2 if cfg.tile % 2 == 0 else cfg.tile)
+    assert gather_tile % bt == 0, (gather_tile, bt)
+    sub = gather_tile // bt
+    cfg = dataclasses.replace(cfg, tile=bt)
+    n = h.shape[0]
+    n_tiles = n // bt
+    n_tab = n // gather_tile
+    hu = _take_rows(h, gtab.reshape(-1))
+    data_specs, w_specs = _specs_tab(cfg, bt, sub)
+    T, K, F, U = bt, cfg.k, cfg.f, cfg.u
+    Hs, Hv = cfg.hs, cfg.hv
+    S1, V1 = cfg.s1, cfg.v1
+    ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
+    fix = lambda i: (0, 0)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_tab * U, F), h.dtype),  # d_hu
+        jax.ShapeDtypeStruct(h.shape, h.dtype),  # d_hr
+        jax.ShapeDtypeStruct((S1 + V1, Hs + Hv), jnp.float32),
+        jax.ShapeDtypeStruct((S1, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((V1, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hs + Hv, Hs + Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hs, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hv, Hv), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((U, F), lambda i: (i // sub, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((V1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs + Hv, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hv, Hv), fix, memory_space=pltpu.VMEM),
+    )
+    (dhu, dhr, dw01, dw1s1, dw1v1, dw02, dw1s2, dw1v2) = pl.pallas_call(
+        functools.partial(_bwd_kernel_tab, cfg, sub),
+        grid=(n_tiles,),
+        in_specs=data_specs
+        + w_specs
+        + [pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_COMPILER_PARAMS,
+    )(hu, h, loc, d2, attr, maskf, *ws, d_agg)
+
+    # sender gradients: dense reverse-table gather-sum (no scatter) —
+    # node v's cotangent is the sum of its d_hu rows across the <=Q tiles
+    # whose tables contain it (rtab pad = n_tab*U reads as 0).
+    q = rtab.shape[1]
+    picked = _take_rows(dhu, rtab.reshape(-1)).reshape(n, q, F)
+    d_h = dhr + picked.sum(axis=1).astype(dhr.dtype)
+
+    z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    zeros = lambda x: jnp.zeros_like(x)
+    wdt = w0e1.dtype
+    d_w1o1 = jnp.concatenate([dw1s1, dw1v1], axis=0).astype(wdt)
+    d_w1o2 = jnp.concatenate([dw1s2, dw1v2], axis=0).astype(wdt)
+    return (d_h, zeros(d2), zeros(attr), zeros(maskf),
+            z(loc), z(gtab), z(rtab),
+            dw01.astype(wdt), d_w1o1, dw02.astype(wdt), d_w1o2)
+
+
+fused_message_aggregate_tabled.defvjp(_vjp_fwd_tab, _vjp_bwd_tab)

@@ -275,6 +275,7 @@ class SEGNNLayer:
         edge_mask: jnp.ndarray,  # [N, K]
         node_mask: jnp.ndarray,  # [N]
         reverse_slot: Optional[jnp.ndarray] = None,  # [N, K] symmetric graphs
+        gather: Optional[tuple] = None,  # (loc, gtab, rtab, tile) tables
     ) -> jnp.ndarray:
         """Fixed-degree variant: K neighbor slots per node.
 
@@ -288,10 +289,15 @@ class SEGNNLayer:
         # scatter-free sender gradients require the full (unchunked) edge set
         # because reverse edges cross chunk boundaries
         rs = reverse_slot if self.edge_chunks == 1 else None
+        gt = gather if self.edge_chunks == 1 else None
 
         def msgs_block(msg_params, h_ext_, h_local_b, senders_b, edge_attr_b,
                        dist2_b, mask_b):
             """Message MLP + K-sum over a block of nodes (pallas or jnp)."""
+            if self.use_pallas and gt is not None and h_ext_ is h_local_b:
+                return self._fused_messages_tabled(
+                    msg_params, h_local_b, edge_attr_b, dist2_b, mask_b, gt
+                )
             if self.use_pallas:
                 return self._fused_messages(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
@@ -389,11 +395,18 @@ class SEGNNLayer:
         else:
             h_local_p = h_local
 
-        # fold per-column norm constants into the weights
+        w0e1, w1o1, w0e2, w1o2 = self._folded_weights(params, h_local.dtype)
+        agg = fused_message_aggregate(
+            cfg, hs, h_local_p, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2
+        )
+        return agg[:n]
+
+    def _folded_weights(self, params, dtp):
+        """Message-layer weights with per-column norm constants folded in."""
+
         def folded(i):
             tp = self.message_layers[i].tp
             p = params[f"msg_{i}"]
-            dtp = h_local.dtype
             n0 = jnp.asarray(tp._norm["l0e"], dtp)
             n1 = jnp.asarray(tp._norm_mul["l1o"], dtp)
             return (p["w_l0e"].astype(dtp) * n0[None, :],
@@ -401,8 +414,42 @@ class SEGNNLayer:
 
         w0e1, w1o1 = folded(0)
         w0e2, w1o2 = folded(1)
-        agg = fused_message_aggregate(
-            cfg, hs, h_local_p, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2
+        return w0e1, w1o1, w0e2, w1o2
+
+    def _fused_messages_tabled(
+        self, params, h_local, edge_attr, edge_dist2, edge_mask, gather
+    ):
+        """Tabled-gather dispatch: per-tile compact sender tables
+        (graph.container.with_gather_tables) replace the [N*K, F] row gather
+        — see kernels.fused_message.fused_message_aggregate_tabled."""
+        from ..kernels.fused_message import (
+            MessageConfig,
+            fused_message_aggregate_tabled,
+        )
+
+        loc, gtab, rtab, gtile = gather
+        n, k = edge_mask.shape
+        f = h_local.shape[-1]
+        npad = loc.shape[0]
+        cfg = MessageConfig(
+            hs=self._pallas_hs, hv=self._pallas_hv, k=k, tile=gtile,
+            u=gtab.shape[1],
+        )
+        attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
+        maskf = edge_mask.astype(h_local.dtype).reshape(n * k, 1)
+        d2 = edge_dist2.reshape(n * k, 1)
+        h_p = h_local
+        if npad != n:
+            pe = (npad - n) * k
+            h_p = jnp.concatenate([h_local, jnp.zeros((npad - n, f), h_local.dtype)])
+            attr = jnp.concatenate([attr, jnp.zeros((pe, attr.shape[-1]), attr.dtype)])
+            d2 = jnp.concatenate([d2, jnp.zeros((pe, 1), d2.dtype)])
+            maskf = jnp.concatenate([maskf, jnp.zeros((pe, 1), maskf.dtype)])
+
+        w0e1, w1o1, w0e2, w1o2 = self._folded_weights(params, h_local.dtype)
+        agg = fused_message_aggregate_tabled(
+            cfg, h_p, d2, attr, maskf, loc.reshape(npad * k, 1), gtab, rtab,
+            w0e1, w1o1, w0e2, w1o2,
         )
         return agg[:n]
 
@@ -575,11 +622,18 @@ class SEGNN:
                 graph, velocities
             )
         h = self.embed(params["embed"], graph.nodes, node_attr)
+        gather = None
+        if graph.gather_loc is not None:
+            gather = (
+                graph.gather_loc, graph.gather_tab, graph.gather_rev,
+                graph.gather_tile,
+            )
         for i, layer in enumerate(self.layers):
             h = layer.apply_dense(
                 params[f"layer_{i}"], h, h, graph.senders, edge_attr, node_attr,
                 dist2, graph.edge_mask, graph.node_mask,
                 reverse_slot=graph.reverse_slot,
+                gather=gather,
             )
         h = self.pre_head(params["pre_head"], h, node_attr)
         out = self.head(params["head"], h)

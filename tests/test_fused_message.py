@@ -87,3 +87,52 @@ def test_ineligible_configs_fall_back():
         num_layers=1, layout="mul", use_pallas=True,
     )
     assert not m.layers[0].use_pallas  # 1e in hidden + mul layout -> jnp path
+
+
+def test_gather_tables_invariants():
+    """with_gather_tables: every real slot's sender is at tab[tile, loc];
+    masked slots point at U; rev lists exactly the flat tab positions."""
+    g = _graph(200, seed=5).with_gather_tables(tile=32)
+    loc = np.array(g.gather_loc)
+    tab = np.array(g.gather_tab)
+    rev = np.array(g.gather_rev)
+    senders = np.array(g.senders)
+    mask = np.array(g.edge_mask)
+    n, k = senders.shape
+    u = tab.shape[1]
+    tiles = np.arange(n) // 32
+    real = mask
+    np.testing.assert_array_equal(
+        tab[tiles[:, None].repeat(k, 1)[real], loc[:n][real]], senders[real]
+    )
+    assert (loc[:n][~real] == u).all()
+    flat = tab.ravel()
+    for v in range(0, n, 13):
+        want = sorted(np.nonzero(flat == v)[0])
+        got = sorted(p for p in rev[v] if p < flat.size)
+        assert want == got
+
+
+@pytest.mark.parametrize("n", [128, 200])  # 200: tail tile is partial
+def test_tabled_forward_matches(n):
+    m_ref, m_pal = _models()
+    g = _graph(n)
+    gt = g.with_gather_tables(tile=32)
+    params = m_ref.init(jax.random.key(0))
+    ref = np.array(m_ref(params, g))
+    with pltpu.force_tpu_interpret_mode():
+        pal = np.array(m_pal(params, gt))
+    np.testing.assert_allclose(pal, ref, atol=2e-5)
+
+
+def test_tabled_gradients_match():
+    m_ref, m_pal = _models()
+    g = _graph(128, seed=1)
+    gt = g.with_gather_tables(tile=32)
+    params = m_ref.init(jax.random.key(1))
+    tgt = jnp.asarray(np.random.default_rng(2).standard_normal((128, 3)), jnp.float32)
+    g_ref = jax.grad(lambda p: ((m_ref(p, g) - tgt) ** 2).mean())(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(lambda p: ((m_pal(p, gt) - tgt) ** 2).mean())(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)
