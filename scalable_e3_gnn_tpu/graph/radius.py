@@ -42,9 +42,12 @@ def _topk_neighbors(d2, cand_idx, valid, radius, self_idx, k):
     """
     ok = valid & (d2 <= radius * radius) & (cand_idx != self_idx[:, None])
     key = jnp.where(ok, d2, jnp.inf)
-    neg, sel = jax.lax.top_k(-key, k)  # smallest distances first
-    senders = jnp.take_along_axis(cand_idx, sel, axis=1)
-    mask = jnp.isfinite(-neg)
+    # sort_key_val instead of lax.top_k: equal end-to-end build time (XLA
+    # lowers top_k to a sort on TPU) but beats it in isolation and is the
+    # simpler form; both are stable, so tie-breaks match
+    skey, senders = jax.lax.sort_key_val(key, cand_idx, dimension=1)
+    skey, senders = skey[:, :k], senders[:, :k]
+    mask = jnp.isfinite(skey)
     return jnp.where(mask, senders, jnp.int32(2**31 - 1)), mask
 
 
