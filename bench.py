@@ -28,7 +28,7 @@ import optax
 from scalable_e3_gnn_tpu.core.irreps import Irreps
 from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
 from scalable_e3_gnn_tpu.graph.octree import build_octree
-from scalable_e3_gnn_tpu.graph.radius import radius_graph_cell
+from scalable_e3_gnn_tpu.graph.radius import radius_graph_cell, suggest_cell_capacity
 from scalable_e3_gnn_tpu.models.segnn import SEGNN
 from scalable_e3_gnn_tpu.train.pipeline import make_train_state, make_train_step, mse_loss
 
@@ -82,9 +82,10 @@ def main():
     _, octree10m_s = _timed(build10, jnp.asarray(pts10m), iters=1)
     del pts10m
 
+    cap = suggest_cell_capacity(tree, RADIUS, LO, HI)
     rg = jax.jit(
         lambda t: radius_graph_cell(
-            t, RADIUS, LO, HI, max_neighbors=MAX_NEIGHBORS, cell_capacity=64
+            t, RADIUS, LO, HI, max_neighbors=MAX_NEIGHBORS, cell_capacity=cap
         )
     )
     edges, radius_s = _timed(rg, tree)

@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--neighbors", type=int, default=24)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--chunks", type=int, default=None)
-    ap.add_argument("--capacity", type=int, default=64)
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="cell capacity; 0 = auto (measured max occupancy)")
     ap.add_argument("--log", type=str, default=None)
     args = ap.parse_args()
 
@@ -59,12 +60,15 @@ def main():
     tree = jax.jit(lambda p: build_octree(p, lo, hi, num_levels=levels))(
         jnp.asarray(pts)
     )
+    from scalable_e3_gnn_tpu.graph.radius import suggest_cell_capacity
+
+    capacity = args.capacity or suggest_cell_capacity(tree, radius, lo, hi)
     seg = 1_000_000
     if n <= seg:
         edges = jax.jit(
             lambda t: radius_graph_cell(
                 t, radius, lo, hi, max_neighbors=args.neighbors,
-                cell_capacity=args.capacity,
+                cell_capacity=capacity,
             )
         )(tree)
     else:
@@ -74,7 +78,7 @@ def main():
         build_seg = jax.jit(
             lambda t, start: radius_graph_cell(
                 t, radius, lo, hi, max_neighbors=args.neighbors,
-                cell_capacity=args.capacity, row_range=(start, seg),
+                cell_capacity=capacity, row_range=(start, seg),
             )
         )
         parts = [build_seg(tree, off) for off in range(0, n, seg)]

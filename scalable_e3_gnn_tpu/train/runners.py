@@ -180,7 +180,8 @@ def run_pointcloud(
     from ..core.irreps import Irreps
     from ..graph.container import DenseEdgeGraph
     from ..graph.octree import build_octree
-    from ..graph.radius import RadiusEdges, radius_graph_cell
+    from ..graph.radius import (RadiusEdges, radius_graph_cell,
+                                suggest_cell_capacity)
     from ..models.segnn import SEGNN
     from ..train.metrics import MetricsLogger
     from ..train.pipeline import make_train_state, make_train_step, mse_loss
@@ -201,12 +202,14 @@ def run_pointcloud(
     tree = jax.jit(lambda p: build_octree(p, lo, hi, num_levels=levels))(
         jnp.asarray(pts)
     )
+    capacity = cfg.graph.cell_capacity or suggest_cell_capacity(
+        tree, radius, lo, hi)
     seg = 1_000_000
     if n <= seg:
         edges = jax.jit(
             lambda t: radius_graph_cell(
                 t, radius, lo, hi, max_neighbors=cfg.graph.max_neighbors,
-                cell_capacity=cfg.graph.cell_capacity,
+                cell_capacity=capacity,
             )
         )(tree)
     else:
@@ -214,7 +217,7 @@ def run_pointcloud(
         build_seg = jax.jit(
             lambda t, start: radius_graph_cell(
                 t, radius, lo, hi, max_neighbors=cfg.graph.max_neighbors,
-                cell_capacity=cfg.graph.cell_capacity, row_range=(start, seg),
+                cell_capacity=capacity, row_range=(start, seg),
             )
         )
         parts = [build_seg(tree, off) for off in range(0, n, seg)]

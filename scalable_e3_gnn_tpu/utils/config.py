@@ -40,7 +40,7 @@ class GraphConfig:
     bounds: Tuple[float, float] = (0.0, 1.0)
     octree_levels: int = 6
     leaf_size: int = 32
-    cell_capacity: int = 64
+    cell_capacity: int = 0  # 0 = auto: measured max cell occupancy (suggest_cell_capacity)
 
 
 @dataclass
