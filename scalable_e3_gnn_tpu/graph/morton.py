@@ -52,6 +52,17 @@ def quantize(
     return jnp.clip(q, 0, 2**BITS - 1)
 
 
+def _quantize_t(points, lo, hi):
+    """[N, 3] points -> [3, N] grid coords: elementwise math runs with N on
+    the 128-wide vector lanes instead of the 3-wide channel axis (3/128 lane
+    occupancy made the straight [N, 3] form ~25x slower at 10M points)."""
+    lo_a = jnp.asarray(lo, dtype=points.dtype)[:, None]
+    hi_a = jnp.asarray(hi, dtype=points.dtype)[:, None]
+    scale = (2**BITS) / (hi_a - lo_a)
+    q = jnp.floor((points.T - lo_a) * scale).astype(jnp.int32)
+    return jnp.clip(q, 0, 2**BITS - 1)
+
+
 def morton_encode(q: jnp.ndarray) -> jnp.ndarray:
     """Interleave integer grid coords [..., 3] -> 30-bit codes [...] (int32).
 
@@ -73,4 +84,6 @@ def morton_decode(code: jnp.ndarray) -> jnp.ndarray:
 def morton_encode_points(
     points: jnp.ndarray, lo: Tuple[float, float, float], hi: Tuple[float, float, float]
 ) -> jnp.ndarray:
-    return morton_encode(quantize(points, lo, hi))
+    q = _quantize_t(points, lo, hi)  # [3, N]: lane-major bit math
+    s = _part1by2(q)
+    return (s[0] << 2) | (s[1] << 1) | s[2]
