@@ -22,7 +22,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .morton import BITS, morton_decode, morton_encode
+from .morton import BITS, CODE_SENTINEL
 from .octree import Octree, build_octree
 
 __all__ = [
@@ -97,7 +97,7 @@ def radius_graph_brute(
         d2 = (
             jnp.sum(rows * rows, axis=-1)[:, None]
             + sq[None, :]
-            - 2.0 * rows @ points.T
+            - 2.0 * jnp.matmul(rows, points.T, precision="highest")
         )
         d2 = jnp.maximum(d2, 0.0)
         cand = jnp.broadcast_to(
@@ -152,6 +152,43 @@ _STENCIL = jnp.asarray(
 )  # [27, 3]
 
 
+def _stencil_lookup(level_codes, cell_code, cell_start, cell_count, level):
+    """27-cell stencil locations for level-prefix codes, lane-major.
+
+    ``level_codes`` [R] int32 (Morton prefix at ``level``); returns
+    (start [R, 27], count [R, 27]) of the stencil cells in the level's
+    sorted cell table.  All math runs on [R]/[R, 27] int vectors — never a
+    trailing size-3 axis, which would occupy 3 of 128 vector lanes.
+    """
+    from .morton import _compact1by2, _part1by2  # lane-shape-agnostic bit ops
+
+    grid_max = (1 << level) - 1
+    cap = cell_code.shape[0]
+    gx = _compact1by2(level_codes >> 2)  # [R]
+    gy = _compact1by2(level_codes >> 1)
+    gz = _compact1by2(level_codes)
+    sx, sy, sz = (_STENCIL[:, 0][None, :], _STENCIL[:, 1][None, :],
+                  _STENCIL[:, 2][None, :])
+    nx, ny, nz = gx[:, None] + sx, gy[:, None] + sy, gz[:, None] + sz  # [R,27]
+    in_box = (
+        (nx >= 0) & (nx <= grid_max)
+        & (ny >= 0) & (ny <= grid_max)
+        & (nz >= 0) & (nz <= grid_max)
+    )
+    clip = lambda v: jnp.clip(v, 0, grid_max)
+    ncode = (
+        (_part1by2(clip(nx)) << 2)
+        | (_part1by2(clip(ny)) << 1)
+        | _part1by2(clip(nz))
+    )
+    pos = jnp.searchsorted(cell_code, ncode.astype(jnp.int32))
+    pos = jnp.minimum(pos, cap - 1)
+    found = (jnp.take(cell_code, pos) == ncode) & in_box
+    start = jnp.take(cell_start, pos)
+    count = jnp.where(found, jnp.take(cell_count, pos), 0)
+    return start, count
+
+
 def radius_graph_cell(
     tree: Octree,
     radius: float,
@@ -166,17 +203,146 @@ def radius_graph_cell(
     """Radius graph from octree cells; indices are in *sorted* point space.
 
     ``tree`` must be built over the same (lo, hi) box with num_levels >
-    ``level`` (defaults to the deepest level covering ``radius``).  Cells with
-    more than ``cell_capacity`` points contribute only their first
-    ``cell_capacity`` candidates — validate occupancy offline (the octree's
-    cell_count gives it directly).
+    ``level`` (defaults to the deepest level covering ``radius``).
+    ``cell_capacity`` must cover the max occupancy of the search level
+    (``suggest_cell_capacity``); overflowing cells are truncated to their
+    first ``cell_capacity`` points, as candidates and (cell-major path) as
+    receivers.
+
+    Default path is cell-major: one block handles a run of whole cells, so
+    the candidate coordinates of the 27-cell stencil are gathered once per
+    CELL (not once per point — ~occupancy x less HBM gather traffic) and
+    pairwise distances come from one batched MXU matmul per block.
 
     ``row_range=(start, count)`` restricts edge emission to that range of
     sorted points (receivers = start..start+count); candidates still come
     from the whole cloud.  ``count`` must be static; ``start`` may be a traced
     scalar, so one compiled program serves every segment of a 10M-point build
-    (one giant program can trip runtime watchdogs).
+    (one giant program can trip runtime watchdogs).  This segmented path
+    blocks over point rows instead of cells.
     """
+    if row_range is None:
+        return _radius_graph_cell_major(
+            tree, radius, lo, hi, max_neighbors, cell_capacity, level,
+            block_size,
+        )
+    return _radius_graph_row_major(
+        tree, radius, lo, hi, max_neighbors, cell_capacity, level,
+        block_size, row_range,
+    )
+
+
+def _radius_graph_cell_major(
+    tree: Octree,
+    radius: float,
+    lo: Tuple[float, float, float],
+    hi: Tuple[float, float, float],
+    max_neighbors: int,
+    cell_capacity: int,
+    level: Optional[int],
+    block_size: int,
+) -> RadiusEdges:
+    n = tree.num_points
+    k = max_neighbors
+    cap = cell_capacity
+    if level is None:
+        level = search_level_for_radius(radius, lo, hi)
+    level = min(level, tree.num_levels - 1)
+    pts = tree.points
+    cell_code = tree.cell_code[level]
+    cell_start = tree.cell_start[level]
+    cell_count = tree.cell_count[level]
+    capc = cell_code.shape[0]
+
+    cb = max(1, block_size // cap)  # cells per block
+    nb = -(-capc // cb)
+    pad_c = nb * cb - capc
+    code_p = jnp.concatenate([cell_code, jnp.full((pad_c,), CODE_SENTINEL, jnp.int32)])
+    start_p = jnp.concatenate([cell_start, jnp.full((pad_c,), n, jnp.int32)])
+    count_p = jnp.concatenate([cell_count, jnp.zeros((pad_c,), jnp.int32)])
+    slot = jnp.arange(cap, dtype=jnp.int32)
+
+    def one_block(b):
+        c0 = b * cb
+        ccode = jax.lax.dynamic_slice(code_p, (c0,), (cb,))
+        cstart = jax.lax.dynamic_slice(start_p, (c0,), (cb,))
+        ccount = jax.lax.dynamic_slice(count_p, (c0,), (cb,))
+        nstart, ncount = _stencil_lookup(
+            ccode, cell_code, cell_start, cell_count, level
+        )  # [cb, 27]
+        cand = nstart[..., None] + slot  # [cb, 27, cap]
+        cvalid = slot < ncount[..., None]
+        cand = jnp.where(cvalid, cand, 0)
+        candf = cand.reshape(cb, 27 * cap)
+        cvalidf = cvalid.reshape(cb, 27 * cap)
+        cpts = jnp.take(pts, candf, axis=0)  # [cb, 27*cap, 3] — once per CELL
+        rows_idx = cstart[:, None] + slot  # [cb, cap]
+        rvalid = slot < ccount[:, None]
+        rows_idx_c = jnp.where(rvalid, rows_idx, 0)
+        rpts = jnp.take(pts, rows_idx_c, axis=0)  # [cb, cap, 3]
+        # d² = |r|² + |q|² - 2 r·q: the cross term is one batched MXU matmul;
+        # no [.., 3]-trailing elementwise tensors anywhere
+        rq = jax.lax.dot_general(
+            rpts, cpts, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision="highest",
+        )  # [cb, cap, 27*cap]
+        r2 = jnp.sum(rpts * rpts, axis=-1)  # [cb, cap]
+        q2 = jnp.sum(cpts * cpts, axis=-1)  # [cb, 27*cap]
+        d2 = jnp.maximum(r2[..., None] + q2[:, None, :] - 2.0 * rq, 0.0)
+        rowsf = rows_idx.reshape(cb * cap)
+        valid = (cvalidf[:, None, :] & rvalid[..., None]).reshape(
+            cb * cap, 27 * cap
+        )
+        return _topk_neighbors(
+            d2.reshape(cb * cap, 27 * cap),
+            jnp.broadcast_to(candf[:, None, :], (cb, cap, 27 * cap)).reshape(
+                cb * cap, 27 * cap
+            ),
+            valid,
+            radius,
+            rowsf,
+            k,
+        )
+
+    senders_cs, mask_cs = jax.lax.map(one_block, jnp.arange(nb))
+    senders_cs = senders_cs.reshape(nb * cb * cap, k)
+    mask_cs = mask_cs.reshape(nb * cb * cap, k)
+
+    # compact cell-slot rows back to point rows: point i in cell of rank c at
+    # offset (i - run_start) sits at slot c*cap + offset.  run_start comes
+    # from a scan over the tree's per-point ranks — no cell-table gather.
+    rank = tree.point_cell[level]
+    pidx = jnp.arange(n, dtype=jnp.int32)
+    flags = (
+        jnp.concatenate([jnp.ones((1,), bool), rank[1:] != rank[:-1]])
+        if n > 1
+        else jnp.ones((n,), bool)
+    )
+    run_start = jax.lax.cummax(jnp.where(flags, pidx, -1))
+    pslot = rank * cap + (pidx - run_start)
+    # points past an overflowing cell's capacity keep no edges (doc'd above)
+    in_cap = (pidx - run_start) < cap
+    pslot = jnp.where(in_cap, pslot, nb * cb * cap)
+    senders = jnp.take(senders_cs, pslot, axis=0, mode="fill", fill_value=0)
+    mask = jnp.take(mask_cs, pslot, axis=0, mode="fill", fill_value=False)
+    senders = senders.reshape(-1)[: n * k]
+    mask = mask.reshape(-1)[: n * k]
+    receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    senders = jnp.where(mask, senders, n).astype(jnp.int32)
+    return RadiusEdges(senders, receivers, mask, mask.sum().astype(jnp.int32))
+
+
+def _radius_graph_row_major(
+    tree: Octree,
+    radius: float,
+    lo: Tuple[float, float, float],
+    hi: Tuple[float, float, float],
+    max_neighbors: int,
+    cell_capacity: int,
+    level: Optional[int],
+    block_size: int,
+    row_range: Tuple[int, int],
+) -> RadiusEdges:
     n = tree.num_points
     k = max_neighbors
     row_start, row_count = (0, n) if row_range is None else row_range
@@ -190,7 +356,6 @@ def radius_graph_cell(
     cell_code = tree.cell_code[level]
     cell_start = tree.cell_start[level]
     cell_count = tree.cell_count[level]
-    cap = cell_code.shape[0]
 
     nb = -(-row_count // block_size)
     # pad enough for any (traced) row_start: one extra block always suffices
@@ -198,33 +363,29 @@ def radius_graph_cell(
     pts_pad = jnp.concatenate([pts, jnp.zeros((pad_n, 3), pts.dtype)])
     codes_pad = jnp.concatenate([codes, jnp.zeros((pad_n,), codes.dtype)])
 
-    grid_max = (1 << level) - 1
-
     def one_block(b):
         sl = row_start + b * block_size
         rows = jax.lax.dynamic_slice(pts_pad, (sl, 0), (block_size, 3))
         rcodes = jax.lax.dynamic_slice(codes_pad, (sl,), (block_size,))
         row_idx = sl + jnp.arange(block_size, dtype=jnp.int32)
-        # level-grid coords of the row's cell: decode of the level prefix
-        # (prefix = interleaved high bits, so encode/decode work directly)
-        g = morton_decode(rcodes >> cshift)  # [B, 3]
-        ng = g[:, None, :] + _STENCIL[None, :, :]  # [B, 27, 3]
-        in_box = jnp.all((ng >= 0) & (ng <= grid_max), axis=-1)  # [B, 27]
-        ncode = morton_encode(jnp.clip(ng, 0, grid_max))
-        # locate stencil cells in the level's sorted unique-code table
-        pos = jnp.searchsorted(cell_code, ncode.astype(jnp.int32))  # [B, 27]
-        pos = jnp.minimum(pos, cap - 1)
-        found = (jnp.take(cell_code, pos) == ncode) & in_box
-        start = jnp.take(cell_start, pos)  # [B, 27]
-        count = jnp.where(found, jnp.take(cell_count, pos), 0)
+        # stencil cells of each row's level cell (lane-major bit math)
+        start, count = _stencil_lookup(
+            rcodes >> cshift, cell_code, cell_start, cell_count, level
+        )  # [B, 27]
         # candidate sorted-point indices
         slot = jnp.arange(cell_capacity, dtype=jnp.int32)
         cand = start[..., None] + slot  # [B, 27, C]
         valid = slot < count[..., None]
         cand = jnp.where(valid, cand, 0)
         cpts = jnp.take(pts, cand.reshape(block_size, -1), axis=0)  # [B, 27C, 3]
-        diff = cpts - rows[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
+        # d² via |r|²+|q|²-2r·q: cross term on the MXU, no [.., 3] elementwise
+        rq = jax.lax.dot_general(
+            rows, cpts, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision="highest",
+        )  # [B, 27C]
+        r2 = jnp.sum(rows * rows, axis=-1)  # [B]
+        q2 = jnp.sum(cpts * cpts, axis=-1)  # [B, 27C]
+        d2 = jnp.maximum(r2[:, None] + q2 - 2.0 * rq, 0.0)
         row_valid = (row_idx < jnp.minimum(n, row_start + row_count))[:, None]
         return _topk_neighbors(
             d2,

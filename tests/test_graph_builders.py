@@ -125,6 +125,30 @@ def test_radius_cell_vs_brute():
     assert _edge_set(eb) == _edge_set(ec)
 
 
+def test_radius_cell_major_vs_row_major_segments():
+    """Cell-major (default) and segmented row-major paths emit the same
+    edge set; the segmented build covers the cloud in two row ranges."""
+    pts = _cloud(n=384, seed=9)
+    tree = build_octree(pts, LO, HI, num_levels=5)
+    r = 0.45
+    ec = radius_graph_cell(tree, r, LO, HI, max_neighbors=32, cell_capacity=64)
+    parts = [
+        radius_graph_cell(
+            tree, r, LO, HI, max_neighbors=32, cell_capacity=64,
+            row_range=(s, 192), block_size=64,
+        )
+        for s in (0, 192)
+    ]
+    seg_edges = set().union(*[_edge_set(p) for p in parts])
+    assert _edge_set(ec) == seg_edges
+    # per-row truncation decisions must agree too (same candidate ordering)
+    s_cell = np.array(ec.senders).reshape(384, 32)
+    s_seg = np.concatenate(
+        [np.array(p.senders).reshape(192, 32) for p in parts]
+    )
+    assert (s_cell == s_seg).all()
+
+
 def test_radius_receiver_sorted_and_trash_padding():
     pts = _cloud(n=100, seed=8)
     e = radius_graph_brute(pts, 0.4, max_neighbors=16)
