@@ -208,6 +208,20 @@ class FusedMessageGeneric:
 
     # ---- public entry ----
 
+    def _fold(self, params_tuple):
+        """Pre-fold CG-GEMM weights OUTSIDE the kernel (fold_params captures
+        constant index arrays that must not be closed over in a kernel body);
+        the fold is jnp-traceable, so ordinary AD transposes it — the
+        custom_vjp boundary sits on the folded tree."""
+        out = []
+        for layer, p in zip(self.layers, params_tuple):
+            tp = layer.tp
+            if getattr(tp, "_gemm_default", lambda: False)():
+                out.append(tp.fold_params(p))
+            else:
+                out.append(p)
+        return tuple(out)
+
     def __call__(self, params_tuple, hs, hr, d2, attr, maskf):
         """agg [N, F] = Σ_k mask · MLP(h_s ‖ h_r ‖ d², attr).
 
@@ -215,4 +229,4 @@ class FusedMessageGeneric:
         d2/maskf [N*K, 1]; attr [N*K, A].  N must divide by ``tile`` and
         ``bwd_tile``.
         """
-        return self._call(params_tuple, hs, hr, d2, attr, maskf)
+        return self._call(self._fold(params_tuple), hs, hr, d2, attr, maskf)

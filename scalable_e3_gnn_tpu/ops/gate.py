@@ -64,13 +64,17 @@ class Gate:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ns, ng = self._ns, self.num_gates
+        dt = x.dtype
         scalars = x[..., :ns]
         gates = x[..., ns : ns + ng]
         gated = x[..., ns + ng :]
 
-        out = [self.act_scalars(scalars)] if ns else []
+        # activations in f32: exact in fp32 mode; in bf16 it is one cast and
+        # sidesteps a Mosaic bf16 `logistic` lowering bug (f32 scalar
+        # broadcast into a bf16 vector fails verification inside kernels)
+        out = [self.act_scalars(scalars.astype(jnp.float32)).astype(dt)] if ns else []
         if ng:
-            g = self.act_gates(gates)
+            g = self.act_gates(gates.astype(jnp.float32)).astype(dt)
             gi = 0
             off = 0
             for mul, d in self._gated_shapes:

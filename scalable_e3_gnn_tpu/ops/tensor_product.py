@@ -391,10 +391,19 @@ class TensorProduct:
         path_normalization: str = "element",
         layout_in1: str = "mul",
         layout_out: str = "mul",
+        mode: str = "auto",
     ) -> None:
         # layouts as in L1TensorProduct: 'cm' keeps the TPU lane axis on
         # multiplicities; in2 is always dense mul-major (attr vectors, mul 1
         # per group in the sh case)
+        # mode: 'auto' picks the CG-folded-GEMM evaluation (fold_params +
+        # one [.., C1*C2] x [C1*C2, out] MXU GEMM) whenever in1 is cm-layout
+        # and in2 is narrow (sh attrs); 'sparse' forces the component-wise
+        # path (reference-free oracle for tests, and the fallback for wide
+        # in2 where outer(in1, in2) would blow up)
+        if mode not in ("auto", "sparse", "gemm"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
         if layout_in1 not in ("mul", "cm") or layout_out not in ("mul", "cm"):
             raise ValueError("layouts must be 'mul' or 'cm'")
         self.layout_in1 = layout_in1
@@ -445,6 +454,106 @@ class TensorProduct:
             if rows > 0 and mo.mul > 0:
                 self._w_shapes[f"w{io}"] = (rows, mo.mul)
 
+        self._build_gemm_plan()
+
+    def _build_gemm_plan(self) -> None:
+        """Precompute the CG-folded-GEMM evaluation plan.
+
+        The whole product can be written ``out = z @ W'`` where
+        ``z = outer(in1, in2)`` (built as C2 wide lane multiplies, 2-D only —
+        Mosaic-lowerable) and ``W'[Z, out_dim]`` absorbs every CG coefficient
+        and norm constant into a reshuffle of the path weights
+        (``fold_params``).  This is the any-lmax generalization of the
+        reference's lmax=1 trick of turning the CG product into a few dense
+        GEMMs (l1_tensor_prod.py:242-297): all accumulation runs on the MXU
+        instead of hundreds of narrow VPU ops.  z rows are c2-major:
+        ``zrow = c2 * C1 + c1``.
+        """
+        C1, C2 = self.in1_dim, self.in2_dim
+        self._gemm_z = C1 * C2
+        # per (io, k): (zrows, wrows, coeffs) fold index arrays
+        plan: Dict[Tuple[int, int], list] = {}
+        for io, mo in enumerate(self.irreps_out):
+            if f"w{io}" not in self._w_shapes:
+                continue
+            a = self._norm[io]
+            pathrow = 0
+            for sl_1, mul1, l1, sl_2, mul2, l2, cg in self._paths[io]:
+                d1, d2 = 2 * l1 + 1, 2 * l2 + 1
+                u = np.arange(mul1)[:, None]
+                v = np.arange(mul2)[None, :]
+                for k in range(mo.ir.dim):
+                    for i, j in zip(*np.nonzero(cg[:, :, k])):
+                        c1 = sl_1.start + int(i) * mul1 + u  # [mul1, 1]
+                        c2 = sl_2.start + v * d2 + int(j)  # [1, mul2]
+                        zr = (c2 * C1 + c1).reshape(-1)
+                        wr = (u * mul2 + v).reshape(-1) + pathrow
+                        co = np.full(mul1 * mul2, float(cg[i, j, k]) * a,
+                                     np.float32)
+                        plan.setdefault((io, k), []).append((zr, wr, co))
+                pathrow += mul1 * mul2
+        self._gemm_plan = {
+            key: tuple(np.concatenate(cols) for cols in zip(*entries))
+            for key, entries in plan.items()
+        }
+        # cm-layout output column offsets per group
+        off, self._out_cm_off = 0, []
+        for mo in self.irreps_out:
+            self._out_cm_off.append(off)
+            off += mo.dim
+
+    def _gemm_default(self) -> bool:
+        if self.mode == "sparse":
+            return False
+        if self.mode == "gemm":
+            return True
+        return self.layout_in1 == "cm" and self.in2_dim <= 32
+
+    def fold_params(self, params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """CG-folded weight matrix ``{'w_folded': [C2*C1, out_dim]}``.
+
+        Linear in the path weights, so gradients flow through by ordinary AD;
+        R-independent cost (runs once per call, outside any edge loop or
+        Pallas kernel body).  Output columns are cm-layout.
+        """
+        wf = jnp.zeros((self._gemm_z, self.out_dim), jnp.float32)
+        for io, mo in enumerate(self.irreps_out):
+            name = f"w{io}"
+            if name not in self._w_shapes:
+                continue
+            w = params[name].astype(jnp.float32)
+            mul = mo.mul
+            col0 = self._out_cm_off[io]
+            for k in range(mo.ir.dim):
+                if (io, k) not in self._gemm_plan:
+                    continue
+                zr, wr, co = self._gemm_plan[(io, k)]
+                vals = co[:, None] * w[wr, :]
+                c = col0 + k * mul
+                wf = wf.at[zr, c : c + mul].add(vals)
+        return {"w_folded": wf}
+
+    def _call_gemm(self, wf: jnp.ndarray, in1: jnp.ndarray, in2: jnp.ndarray):
+        lead = in1.shape[:-1]
+        dt = in1.dtype
+        # z = outer(in1, in2), c2-major, as C2 lane-wide multiplies (2-D ops
+        # only so the same code lowers inside the generic fused Pallas kernel)
+        C2 = self.in2_dim
+        cols = [in1 * in2[..., c : c + 1] for c in range(C2)]
+        z = jnp.concatenate(cols, axis=-1) if C2 > 1 else cols[0]
+        out = jnp.matmul(z, wf.astype(dt), preferred_element_type=jnp.float32)
+        out = out.astype(dt)
+        if self.layout_out == "cm":
+            return out
+        parts = []
+        for io, mo in enumerate(self.irreps_out):
+            blk = out[..., self._out_cm_off[io] : self._out_cm_off[io] + mo.dim]
+            if mo.ir.dim > 1:
+                blk = blk.reshape(lead + (mo.ir.dim, mo.mul))
+                blk = jnp.swapaxes(blk, -1, -2).reshape(lead + (mo.dim,))
+            parts.append(blk)
+        return jnp.concatenate(parts, axis=-1)
+
     def init(self, key, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
         params = {}
         keys = jax.random.split(key, max(len(self._w_shapes), 1))
@@ -468,6 +577,13 @@ class TensorProduct:
             raise ValueError(f"in1 last dim {in1.shape[-1]} != {self.in1_dim}")
         if in2.shape[-1] != self.in2_dim:
             raise ValueError(f"in2 last dim {in2.shape[-1]} != {self.in2_dim}")
+        if "w_folded" in params:
+            # CG-folded GEMM path (fold_params); 'cm' in1 layout only — the
+            # outer-product z indexes in1 components by flat cm position
+            assert self.layout_in1 == "cm", "folded path requires cm in1"
+            return self._call_gemm(params["w_folded"], in1, in2)
+        if self._gemm_default():
+            return self._call_gemm(self.fold_params(params)["w_folded"], in1, in2)
         lead = in1.shape[:-1]
         dt = in1.dtype
 

@@ -61,7 +61,9 @@ def main():
     target = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
 
     for name, kw in (
-        ("jnp chunked (status quo)", dict(use_pallas=False, edge_chunks=2)),
+        # CG-folded GEMM TP materializes z=[E, C1*C2] per chunk in the jnp
+        # path -> needs ~4x more chunks than the sparse path did
+        ("jnp chunked (gemm TP)", dict(use_pallas=False, edge_chunks=8)),
         ("generic fused kernel", dict(use_pallas=True, edge_chunks=1)),
     ):
         model = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
