@@ -303,7 +303,7 @@ class SEGNNLayer:
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
                     dist2_b, mask_b, reverse_slot=rs,
                 )
-            if self.use_pallas_generic and h_local_b.shape[0] % 8 == 0:
+            if self.use_pallas_generic:
                 return self._fused_messages_generic(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
                     dist2_b, mask_b, reverse_slot=rs,
@@ -340,9 +340,9 @@ class SEGNNLayer:
             ).reshape(n, -1)
         else:
             f = msgs_block
-            # the fused kernel saves only its inputs (custom_vjp recomputes
+            # the fused kernels save only their inputs (custom_vjp recomputes
             # in-kernel), so checkpoint would add a redundant forward pass
-            if self.remat and not self.use_pallas:
+            if self.remat and not (self.use_pallas or self.use_pallas_generic):
                 f = jax.checkpoint(f)
             agg = f(
                 params, h_ext, h_local, senders, edge_attr, edge_dist2, edge_mask
@@ -462,10 +462,12 @@ class SEGNNLayer:
 
         n, k = senders.shape
         f = h_local.shape[-1]
-        key = (k, n)
+        # pad node rows to a multiple of the tile: grid-step overhead at
+        # tile=8/16 dominates otherwise (250k rows = 15625+ grid steps)
+        tile, bwd = 64, 32
+        npad = -(-n // tile) * tile
+        key = (k, npad)
         if key not in self._generic_kernels:
-            tile = next((t for t in range(32, 7, -8) if n % t == 0), None)
-            bwd = next((t for t in range(16, 7, -8) if n % t == 0), tile)
             self._generic_kernels[key] = FusedMessageGeneric(
                 self.message_layers, k, tile=tile, bwd_tile=bwd
             )
@@ -479,10 +481,20 @@ class SEGNNLayer:
         attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
         d2 = edge_dist2.reshape(n * k, 1)
         maskf = edge_mask.astype(h_local.dtype).reshape(n * k, 1)
+        h_p = h_local
+        if npad != n:
+            pe = (npad - n) * k
+            pad = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pe,) + a.shape[1:], a.dtype)]
+            )
+            hs, attr, d2, maskf = pad(hs), pad(attr), pad(d2), pad(maskf)
+            h_p = jnp.concatenate(
+                [h_local, jnp.zeros((npad - n, f), h_local.dtype)]
+            )
         ptuple = tuple(
             params[f"msg_{i}"] for i in range(len(self.message_layers))
         )
-        return kern(ptuple, hs, h_local, d2, attr, maskf)
+        return kern(ptuple, hs, h_p, d2, attr, maskf)[:n]
 
     def __call__(
         self,
