@@ -60,20 +60,23 @@ class FusedMessageGeneric:
         self.tile = tile
         self.bwd_tile = bwd_tile or max(tile // 2, 8)
 
-        def call(params_tuple, hs, hr, d2, attr, maskf):
-            return self._fwd_call(params_tuple, hs, hr, d2, attr, maskf)
+        # the custom_vjp boundary sits on the PACKED stream: the residual is
+        # one lane-dense [R, F+A+2] buffer.  With separate pieces, each
+        # [R, 1] residual materializes (8,128)-tiled in HBM — a 128x memory
+        # expansion, 3.8 GB per piece at 1M points / K=16.
+        def call(params_tuple, stream, hr):
+            return self._fwd_call(params_tuple, stream, hr)
 
-        def call_fwd(params_tuple, hs, hr, d2, attr, maskf):
-            out = self._fwd_call(params_tuple, hs, hr, d2, attr, maskf)
-            return out, (params_tuple, hs, hr, d2, attr, maskf)
+        def call_fwd(params_tuple, stream, hr):
+            out = self._fwd_call(params_tuple, stream, hr)
+            return out, (params_tuple, stream, hr)
 
         def call_bwd(res, d_agg):
-            params_tuple, hs, hr, d2, attr, maskf = res
-            d_params, dhs, dhr = self._bwd_call(
-                params_tuple, hs, hr, d2, attr, maskf, d_agg
+            params_tuple, stream, hr = res
+            d_params, dstream, dhr = self._bwd_call(
+                params_tuple, stream, hr, d_agg
             )
-            zeros = lambda x: jnp.zeros_like(x)
-            return (d_params, dhs, dhr, zeros(d2), zeros(attr), zeros(maskf))
+            return (d_params, dstream, dhr)
 
         self._call = jax.custom_vjp(call)
         self._call.defvjp(call_fwd, call_bwd)
@@ -95,36 +98,50 @@ class FusedMessageGeneric:
         row = lambda i: (i, 0)
         fix = lambda i: (0, 0)
         data = [
-            pl.BlockSpec((T * K, f), row, memory_space=pltpu.VMEM),  # hs
+            # one packed edge stream [R, f+a+2] = hs ‖ attr ‖ d2 ‖ mask:
+            # separate [R, 1]/[R, a] operands would each be lane-padded to
+            # 128 in HBM by the Pallas operand layout (128x memory expansion
+            # — 3.8 GB per stream at 1M points/K=16), while packing into the
+            # hs array is free (hs already pads f -> 128)
+            pl.BlockSpec((T * K, f + a + 2), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, f), row, memory_space=pltpu.VMEM),  # hr
-            pl.BlockSpec((T * K, 1), row, memory_space=pltpu.VMEM),  # d2
-            pl.BlockSpec((T * K, a), row, memory_space=pltpu.VMEM),  # attr
-            pl.BlockSpec((T * K, 1), row, memory_space=pltpu.VMEM),  # mask
         ]
         ws = [pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM) for w in wdefs]
         return data, ws
 
-    def _fwd_call(self, params_tuple, hs, hr, d2, attr, maskf):
+    @staticmethod
+    def _pack(hs, d2, attr, maskf):
+        dt = hs.dtype
+        return jnp.concatenate(
+            [hs, attr.astype(dt), d2.astype(dt), maskf.astype(dt)], axis=-1
+        )
+
+    def _unpack(self, stream_ref, f, a):
+        s = stream_ref[:]
+        return (s[:, :f], s[:, f + a : f + a + 1], s[:, f : f + a],
+                s[:, f + a + 1 : f + a + 2])
+
+    def _fwd_call(self, params_tuple, stream, hr):
         n, f = hr.shape
+        a = stream.shape[-1] - f - 2
         tile = self.tile
         assert n % tile == 0, (n, tile)
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
 
         def kernel(*refs):
-            data_refs, w_refs, out_ref = refs[:5], refs[5:-1], refs[-1]
-            hs_ref, hr_ref, d2_ref, attr_ref, mask_ref = data_refs
-            dt = hs_ref.dtype
+            (stream_ref, hr_ref), w_refs, out_ref = refs[:2], refs[2:-1], refs[-1]
+            hs_t, d2_t, attr_t, mask_t = self._unpack(stream_ref, f, a)
+            dt = hs_t.dtype
             E = _expand_matrix(tile, self.k, dt)
             hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32
                              ).astype(dt)
             wvals = jax.tree_util.tree_unflatten(
                 treedef, [r[:] for r in w_refs]
             )
-            out = self._message(wvals, hs_ref[:], hr_rep, d2_ref[:],
-                                attr_ref[:], mask_ref[:], E)
+            out = self._message(wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, E)
             out_ref[:] = out.astype(out_ref.dtype)
 
-        data_specs, w_specs = self._specs(tile, f, attr.shape[-1], flat)
+        data_specs, w_specs = self._specs(tile, f, a, flat)
         return pl.pallas_call(
             kernel,
             grid=(n // tile,),
@@ -133,36 +150,40 @@ class FusedMessageGeneric:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, f), hr.dtype),
             compiler_params=_COMPILER_PARAMS,
-        )(hs, hr, d2, attr, maskf, *flat)
+        )(stream, hr, *flat)
 
-    def _bwd_call(self, params_tuple, hs, hr, d2, attr, maskf, d_agg):
+    def _bwd_call(self, params_tuple, stream, hr, d_agg):
         n, f = hr.shape
+        a = stream.shape[-1] - f - 2
         tile = self.bwd_tile
         assert n % tile == 0, (n, tile)
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
 
         def kernel(*refs):
-            data_refs = refs[:5]
-            w_refs = refs[5 : 5 + len(flat)]
-            dagg_ref = refs[5 + len(flat)]
-            dhs_ref, dhr_ref = refs[6 + len(flat) : 8 + len(flat)]
-            dw_refs = refs[8 + len(flat) :]
-            hs_ref, hr_ref, d2_ref, attr_ref, mask_ref = data_refs
-            dt = hs_ref.dtype
+            stream_ref, hr_ref = refs[:2]
+            w_refs = refs[2 : 2 + len(flat)]
+            dagg_ref = refs[2 + len(flat)]
+            dstream_ref, dhr_ref = refs[3 + len(flat) : 5 + len(flat)]
+            dw_refs = refs[5 + len(flat) :]
+            hs_t, d2_t, attr_t, mask_t = self._unpack(stream_ref, f, a)
+            dt = hs_t.dtype
             E = _expand_matrix(tile, self.k, dt)
             wvals = jax.tree_util.tree_unflatten(
                 treedef, [r[:] for r in w_refs]
             )
 
-            def fn(wv, hs_t, hr_t):
+            def fn(wv, hs_v, hr_t):
                 hr_rep = jnp.dot(E, hr_t, preferred_element_type=jnp.float32
                                  ).astype(dt)
-                return self._message(wv, hs_t, hr_rep, d2_ref[:],
-                                     attr_ref[:], mask_ref[:], E)
+                return self._message(wv, hs_v, hr_rep, d2_t, attr_t, mask_t, E)
 
-            _, vjp = jax.vjp(fn, wvals, hs_ref[:], hr_ref[:])
+            _, vjp = jax.vjp(fn, wvals, hs_t, hr_ref[:])
             d_w, d_hs, d_hr = vjp(dagg_ref[:].astype(jnp.float32))
-            dhs_ref[:] = d_hs.astype(dhs_ref.dtype)
+            # zero cotangents for the geometry columns (graph constants)
+            dstream_ref[:] = jnp.concatenate(
+                [d_hs.astype(dt), jnp.zeros((d_hs.shape[0], a + 2), dt)],
+                axis=-1,
+            ).astype(dstream_ref.dtype)
             dhr_ref[:] = d_hr.astype(dhr_ref.dtype)
             dw_flat = jax.tree_util.tree_leaves(d_w)
 
@@ -176,14 +197,14 @@ class FusedMessageGeneric:
             for r, dw in zip(dw_refs, dw_flat):
                 r[:] += dw.astype(r.dtype)
 
-        data_specs, w_specs = self._specs(tile, f, attr.shape[-1], flat)
+        data_specs, w_specs = self._specs(tile, f, a, flat)
         fix = lambda i: (0, 0)
         out_shapes = (
-            jax.ShapeDtypeStruct(hs.shape, hs.dtype),
+            jax.ShapeDtypeStruct(stream.shape, stream.dtype),
             jax.ShapeDtypeStruct(hr.shape, hr.dtype),
         ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat)
         out_specs = (
-            pl.BlockSpec((tile * self.k, f), lambda i: (i, 0),
+            pl.BlockSpec((tile * self.k, f + a + 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ) + tuple(
@@ -198,13 +219,13 @@ class FusedMessageGeneric:
             out_specs=out_specs,
             out_shape=out_shapes,
             compiler_params=_COMPILER_PARAMS,
-        )(hs, hr, d2, attr, maskf, *flat, d_agg)
-        dhs, dhr = outs[0], outs[1]
+        )(stream, hr, *flat, d_agg)
+        dstream, dhr = outs[0], outs[1]
         dw_flat = [
             d.astype(w.dtype) for d, w in zip(outs[2:], flat)
         ]
         d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
-        return d_params, dhs, dhr
+        return d_params, dstream, dhr
 
     # ---- public entry ----
 
@@ -227,6 +248,14 @@ class FusedMessageGeneric:
 
         hs [N*K, F] gathered sender features (cm layout); hr [N, F];
         d2/maskf [N*K, 1]; attr [N*K, A].  N must divide by ``tile`` and
-        ``bwd_tile``.
+        ``bwd_tile``.  The pieces fuse into one packed stream before the
+        custom_vjp boundary; their cotangents come back through the concat
+        transpose (d_hs slice; geometry branches are dead).
         """
-        return self._call(self._fold(params_tuple), hs, hr, d2, attr, maskf)
+        stream = self._pack(hs, d2, attr, maskf)
+        return self._call(self._fold(params_tuple), stream, hr)
+
+    def packed_call(self, params_tuple, stream, hr):
+        """Entry for callers that build the packed stream themselves (e.g.
+        in 3-D [N, K, ·] form to avoid flat [R, 1] intermediates)."""
+        return self._call(self._fold(params_tuple), stream, hr)

@@ -117,6 +117,7 @@ class SEGNNLayer:
         layout: str = "mul",
         use_pallas: bool = False,
         edge_chunks: int = 1,
+        remat_kernel: bool = False,
     ) -> None:
         self.edge_chunks = max(1, edge_chunks)
         # remat: rematerialize per-edge message intermediates in the backward
@@ -124,6 +125,11 @@ class SEGNNLayer:
         # activations dominate HBM, and recomputing them is cheaper than
         # spilling (SURVEY.md §6: gather/scatter-bound, not MXU-bound)
         self.remat = remat
+        # remat_kernel: ALSO checkpoint the fused-kernel dispatch.  The
+        # kernels recompute in-kernel, so this adds one redundant forward per
+        # layer — but it drops the per-layer [E, F+A+2] packed-stream
+        # residual, which is what lets 1M-point lmax=2 training fit in HBM.
+        self.remat_kernel = remat_kernel
         self.layout = layout
         h = Irreps(hidden_irreps)
         # fused Pallas message kernel eligibility (kernels/fused_message.py):
@@ -276,13 +282,17 @@ class SEGNNLayer:
         node_mask: jnp.ndarray,  # [N]
         reverse_slot: Optional[jnp.ndarray] = None,  # [N, K] symmetric graphs
         gather: Optional[tuple] = None,  # (loc, gtab, rtab, tile) tables
+        edge_geo: Optional[jnp.ndarray] = None,  # [N, K, A+2] packed geometry
     ) -> jnp.ndarray:
         """Fixed-degree variant: K neighbor slots per node.
 
         Aggregation is a dense masked sum over the K axis — no scatter, and
         the receiver-side features broadcast instead of gathering.  This is
         the TPU-fast path; ``apply`` (COO + segment-sum) remains for
-        variable-degree graphs.
+        variable-degree graphs.  ``edge_geo`` is the precomputed packed
+        geometry stream (attr ‖ d2 ‖ mask, from compute_attributes_dense):
+        building it inside the step materializes 128x-lane-padded [E, 1]
+        temps that dominate HBM at 1M points.
         """
         n, k = senders.shape
 
@@ -290,6 +300,7 @@ class SEGNNLayer:
         # because reverse edges cross chunk boundaries
         rs = reverse_slot if self.edge_chunks == 1 else None
         gt = gather if self.edge_chunks == 1 else None
+        geo = edge_geo if self.edge_chunks == 1 else None
 
         def msgs_block(msg_params, h_ext_, h_local_b, senders_b, edge_attr_b,
                        dist2_b, mask_b):
@@ -301,12 +312,12 @@ class SEGNNLayer:
             if self.use_pallas:
                 return self._fused_messages(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
-                    dist2_b, mask_b, reverse_slot=rs,
+                    dist2_b, mask_b, reverse_slot=rs, edge_geo=geo,
                 )
             if self.use_pallas_generic:
                 return self._fused_messages_generic(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
-                    dist2_b, mask_b, reverse_slot=rs,
+                    dist2_b, mask_b, reverse_slot=rs, edge_geo=geo,
                 )
             if rs is not None and h_ext_ is h_local_b:
                 hs = take_dense_symmetric(h_ext_, senders_b, rs, mask_b)
@@ -341,24 +352,35 @@ class SEGNNLayer:
         else:
             f = msgs_block
             # the fused kernels save only their inputs (custom_vjp recomputes
-            # in-kernel), so checkpoint would add a redundant forward pass
-            if self.remat and not (self.use_pallas or self.use_pallas_generic):
+            # in-kernel), so checkpoint would add a redundant forward pass —
+            # except when remat_kernel trades that pass for the [E, F+A+2]
+            # stream residual (1M-point configs)
+            pallas = self.use_pallas or self.use_pallas_generic
+            if (self.remat and not pallas) or (self.remat_kernel and pallas):
                 f = jax.checkpoint(f)
             agg = f(
                 params, h_ext, h_local, senders, edge_attr, edge_dist2, edge_mask
             )
-        u = jnp.concatenate([h_local, agg], axis=-1)
-        for i, layer in enumerate(self.update_layers):
-            u = layer(params[f"upd_{i}"], u, node_attr)
-        h = h_local + u
+        def upd_fn(upd_params, h_local_, agg_):
+            u = jnp.concatenate([h_local_, agg_], axis=-1)
+            for i, layer in enumerate(self.update_layers):
+                u = layer(upd_params[f"upd_{i}"], u, node_attr)
+            return u
+
+        if self.remat:
+            # the update TP's outer-product z ([N, ~1.6k] at lmax=2) is the
+            # largest node-level intermediate — recompute it in the backward
+            upd_fn = jax.checkpoint(upd_fn)
+        h = h_local + upd_fn(params, h_local, agg)
         return jnp.where(node_mask[:, None], h, 0.0)
 
     def _fused_messages(
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask,
-        reverse_slot=None,
+        reverse_slot=None, edge_geo=None,
     ):
         """Dispatch the message MLP + aggregation to the Pallas fused kernel."""
-        from ..kernels.fused_message import MessageConfig, fused_message_aggregate
+        from ..kernels.fused_message import (MessageConfig,
+                                             fused_message_aggregate)
 
         n, k = senders.shape
         f = h_local.shape[-1]
@@ -377,27 +399,29 @@ class SEGNNLayer:
             hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
         else:
             hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
-        hs = hs.reshape(n * k, f)
-        attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
-        # d2/mask flattened to [N*K, 1] outside the kernel (Mosaic cannot
-        # reshape lane dims into sublanes in-kernel)
-        maskf = edge_mask.astype(h_local.dtype).reshape(n * k, 1)
-        d2 = edge_dist2.reshape(n * k, 1)
+        # pack the edge stream: hs ‖ attr ‖ d2 ‖ mask.  Prefer the
+        # precomputed geometry pack (edge_geo) — building the [.., 1] pieces
+        # inside the step materializes 128x-lane-padded [N*K, 1] temps
+        dt = h_local.dtype
+        if edge_geo is not None:
+            parts = [hs, edge_geo.astype(dt)]
+        else:
+            parts = [hs, edge_attr.astype(dt),
+                     edge_dist2[..., None].astype(dt),
+                     edge_mask[..., None].astype(dt)]
+        stream = jnp.concatenate(parts, axis=-1).reshape(n * k, f + 6)
         if npad != n:
             pe = (npad - n) * k
-            hs = jnp.concatenate([hs, jnp.zeros((pe, f), hs.dtype)])
-            attr = jnp.concatenate([attr, jnp.zeros((pe, attr.shape[-1]), attr.dtype)])
+            stream = jnp.concatenate([stream, jnp.zeros((pe, f + 6), dt)])
             h_local_p = jnp.concatenate(
                 [h_local, jnp.zeros((npad - n, f), h_local.dtype)]
             )
-            d2 = jnp.concatenate([d2, jnp.zeros((pe, 1), d2.dtype)])
-            maskf = jnp.concatenate([maskf, jnp.zeros((pe, 1), maskf.dtype)])
         else:
             h_local_p = h_local
 
         w0e1, w1o1, w0e2, w1o2 = self._folded_weights(params, h_local.dtype)
         agg = fused_message_aggregate(
-            cfg, hs, h_local_p, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2
+            cfg, stream, h_local_p, w0e1, w1o1, w0e2, w1o2
         )
         return agg[:n]
 
@@ -455,7 +479,7 @@ class SEGNNLayer:
 
     def _fused_messages_generic(
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2,
-        edge_mask, reverse_slot=None,
+        edge_mask, reverse_slot=None, edge_geo=None,
     ):
         """Dispatch the message MLP + aggregation to the generic fused kernel."""
         from ..kernels.fused_message_generic import FusedMessageGeneric
@@ -477,24 +501,30 @@ class SEGNNLayer:
             hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
         else:
             hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
-        hs = hs.reshape(n * k, f)
-        attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
-        d2 = edge_dist2.reshape(n * k, 1)
-        maskf = edge_mask.astype(h_local.dtype).reshape(n * k, 1)
+        # pack the stream: prefer the precomputed geometry pack (edge_geo) —
+        # building the [.., 1] pieces inside the step materializes
+        # 128x-lane-padded [N*K, 1] temps, 3.8 GB per piece at 1M points
+        dt = h_local.dtype
+        if edge_geo is not None:
+            parts = [hs, edge_geo.astype(dt)]
+        else:
+            parts = [hs, edge_attr.astype(dt),
+                     edge_dist2[..., None].astype(dt),
+                     edge_mask[..., None].astype(dt)]
+        stream = jnp.concatenate(parts, axis=-1).reshape(n * k, -1)
         h_p = h_local
         if npad != n:
             pe = (npad - n) * k
-            pad = lambda a: jnp.concatenate(
-                [a, jnp.zeros((pe,) + a.shape[1:], a.dtype)]
+            stream = jnp.concatenate(
+                [stream, jnp.zeros((pe, stream.shape[-1]), dt)]
             )
-            hs, attr, d2, maskf = pad(hs), pad(attr), pad(d2), pad(maskf)
             h_p = jnp.concatenate(
                 [h_local, jnp.zeros((npad - n, f), h_local.dtype)]
             )
         ptuple = tuple(
             params[f"msg_{i}"] for i in range(len(self.message_layers))
         )
-        return kern(ptuple, hs, h_p, d2, attr, maskf)[:n]
+        return kern.packed_call(ptuple, stream, h_p)[:n]
 
     def __call__(
         self,
@@ -541,6 +571,7 @@ class SEGNN:
         layout: Optional[str] = None,
         use_pallas: bool = False,
         edge_chunks: int = 1,
+        remat_kernel: bool = False,
     ) -> None:
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
@@ -565,6 +596,7 @@ class SEGNN:
             SEGNNLayer(
                 self.hidden_irreps, self.attr_irreps, act=act, remat=remat,
                 layout=layout, use_pallas=use_pallas, edge_chunks=edge_chunks,
+                remat_kernel=remat_kernel,
             )
             for _ in range(num_layers)
         ]
@@ -608,7 +640,15 @@ class SEGNN:
     def compute_attributes_dense(
         self, graph: DenseEdgeGraph, velocities: Optional[jnp.ndarray] = None
     ):
-        """Dense-K variant of compute_attributes: [N, K, ...] edge arrays."""
+        """Dense-K variant of compute_attributes: [N, K, ...] edge arrays.
+
+        Returns ``(edge_attr, node_attr, dist2, edge_geo)`` where ``edge_geo``
+        [N, K, A+2] = attr ‖ d2 ‖ mask is the packed per-edge geometry stream
+        the fused kernels consume — precomputed here, outside the train step,
+        because packing the [.., 1] pieces in-step materializes
+        128x-lane-padded temps.  ``attrs`` consumers may pass either the
+        3-tuple (legacy) or this 4-tuple to ``__call__``.
+        """
         rel = graph.rel_positions()  # [N, K, 3]
         dist2 = jnp.sum(rel * rel, axis=-1)
         edge_attr = spherical_harmonics(self.lmax_attr, rel)
@@ -618,7 +658,11 @@ class SEGNN:
         if self.vel_attr and velocities is not None:
             node_attr = node_attr + spherical_harmonics(self.lmax_attr, velocities)
         node_attr = node_attr.at[..., 0].set(1.0)
-        return edge_attr, node_attr, dist2
+        edge_geo = jnp.concatenate(
+            [edge_attr, dist2[..., None],
+             graph.edge_mask[..., None].astype(edge_attr.dtype)], axis=-1,
+        )
+        return edge_attr, node_attr, dist2, edge_geo
 
     def _forward_dense(
         self,
@@ -628,10 +672,14 @@ class SEGNN:
         attrs: Optional[tuple] = None,
     ) -> jnp.ndarray:
         if attrs is not None:
-            edge_attr, node_attr, dist2 = attrs
+            if len(attrs) == 4:
+                edge_attr, node_attr, dist2, edge_geo = attrs
+            else:  # legacy 3-tuple: kernels rebuild the pack in-step
+                edge_attr, node_attr, dist2 = attrs
+                edge_geo = None
         else:
-            edge_attr, node_attr, dist2 = self.compute_attributes_dense(
-                graph, velocities
+            edge_attr, node_attr, dist2, edge_geo = (
+                self.compute_attributes_dense(graph, velocities)
             )
         h = self.embed(params["embed"], graph.nodes, node_attr)
         gather = None
@@ -646,6 +694,7 @@ class SEGNN:
                 dist2, graph.edge_mask, graph.node_mask,
                 reverse_slot=graph.reverse_slot,
                 gather=gather,
+                edge_geo=edge_geo,
             )
         h = self.pre_head(params["pre_head"], h, node_attr)
         out = self.head(params["head"], h)

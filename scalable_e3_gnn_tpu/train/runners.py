@@ -233,15 +233,22 @@ def run_pointcloud(
         [masses_sorted, jnp.ones_like(masses_sorted), jnp.zeros((n, 3))], axis=-1
     )
     lmax1 = cfg.model.lmax_attr == 1
+    # symmetrize where the [N, K, K] mutual-edge pass fits (enables the
+    # scatter-free sender-gradient path); 10M-scale graphs skip it
+    symmetrize = n <= 2_000_000
     graph = DenseEdgeGraph.from_radius_edges(
-        feats, tree.points, edges, symmetrize=lmax1
+        feats, tree.points, edges, symmetrize=symmetrize
     )
     rel = graph.rel_positions()
     mj = jnp.take(masses_sorted[:, 0], jnp.minimum(graph.senders, n - 1))
     target = (rel * jnp.where(graph.edge_mask, mj, 0.0)[..., None]).sum(axis=1)
 
-    chunks = max(1, n // 125_000) if not lmax1 else 1
+    # fused Pallas message kernels (specialized lmax=1 / generic CG-GEMM)
+    # keep per-edge intermediates in VMEM, so no edge chunking is needed;
+    # the jnp fallback (CPU tests) streams node blocks instead
     on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = on_tpu and cfg.model.layout == "cm"
+    chunks = 1 if (use_pallas or lmax1) else max(1, n // 125_000)
     model = SEGNN(
         Irreps(cfg.model.input_irreps),
         Irreps(cfg.model.hidden_irreps),
@@ -250,8 +257,11 @@ def run_pointcloud(
         num_layers=cfg.model.num_layers,
         remat=cfg.model.remat,
         layout=cfg.model.layout,
-        use_pallas=on_tpu and lmax1,
+        use_pallas=use_pallas,
         edge_chunks=chunks,
+        # at >=500k points the per-layer packed-stream residuals no longer
+        # fit HBM; trade one extra in-kernel forward per layer for them
+        remat_kernel=cfg.model.remat and n >= 500_000,
     )
     params = model.init(jax.random.key(seed))
     attrs = jax.jit(model.compute_attributes_dense)(graph)

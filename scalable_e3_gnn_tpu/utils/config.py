@@ -91,7 +91,7 @@ def cloud1m_config() -> ExperimentConfig:
     return ExperimentConfig(
         name="cloud1m",
         model=ModelConfig(
-            hidden_irreps="24x0e+12x1o+6x2e", lmax_attr=2, remat=True, layout="mul",
+            hidden_irreps="24x0e+12x1o+6x2e", lmax_attr=2, remat=True, layout="cm",
         ),
         train=TrainConfig(learning_rate=1e-3, num_steps=100, bf16=True),
         graph=GraphConfig(radius=0.02, max_neighbors=16, octree_levels=7),
