@@ -221,16 +221,7 @@ def _onehot(loc, u, dt):
     return (i == loc).astype(dt)
 
 
-def _unpack_geo(cfg, geo):
-    """[R, 6] packed geometry stream -> (attr [R, 4], d2 [R, 1], mask [R, 1]).
-
-    Geometry rides one packed array (in the untabled kernels, appended to the
-    hs stream): separate [R, 1]/[R, 4] Pallas operands are lane-padded to 128
-    in HBM — a 128x memory expansion and the same factor of wasted DMA."""
-    return geo[:, :4], geo[:, 4:5], geo[:, 5:6]
-
-
-def _fwd_tail(cfg, hs_t, hr_ref, d2, attr, maskf,
+def _fwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
               w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref,
               tile):
     """Shared forward body given the expanded sender rows ``hs_t`` [R, F]."""
@@ -240,11 +231,12 @@ def _fwd_tail(cfg, hs_t, hr_ref, d2, attr, maskf,
 
     E = _expand_matrix(tile, K, dt)
     hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
+    attr = attr_ref[:]
     s = attr[:, 0:1]
     vV = _vstack(attr, cfg.v1)  # [R, 3*2Hv]
     vH = _vstack(attr, Hv)  # [R, 3*Hv]
 
-    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2, attr)
+    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2_ref[:], attr)
     m0, m1, _ = _layer_fwd(
         Xs, Xv, s, vV, vH, w01_ref[:], w1s1_ref[:], bd1_ref[:], Hs, Hv
     )
@@ -254,34 +246,31 @@ def _fwd_tail(cfg, hs_t, hr_ref, d2, attr, maskf,
         m0, m1, s, vH, vH, w02_ref[:], w1s2_ref[:], bd2_ref[:], Hs, Hv
     )
     m = jnp.concatenate([m0b, m1b], axis=-1)  # [R, F] f32 (cm layout)
-    m = m * maskf
+    m = m * mask_ref[:]
     out_ref[:] = jnp.dot(E.T, m.astype(dt), preferred_element_type=jnp.float32).astype(
         out_ref.dtype
     )
 
 
-def _fwd_kernel(cfg: MessageConfig, stream_ref, hr_ref,
+def _fwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
                 w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref):
-    s = stream_ref[:]
-    attr, d2, maskf = _unpack_geo(cfg, s[:, cfg.f :])
-    _fwd_tail(cfg, s[:, : cfg.f], hr_ref, d2, attr, maskf,
+    _fwd_tail(cfg, hs_ref[:], hr_ref, d2_ref, attr_ref, mask_ref,
               w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref,
               cfg.tile)
 
 
-def _fwd_kernel_tab(cfg: MessageConfig, hu_ref, hr_ref, loc_ref, geo_ref,
-                    w01_ref, w1s1_ref, bd1_ref, w02_ref,
+def _fwd_kernel_tab(cfg: MessageConfig, hu_ref, hr_ref, loc_ref, d2_ref,
+                    attr_ref, mask_ref, w01_ref, w1s1_ref, bd1_ref, w02_ref,
                     w1s2_ref, bd2_ref, out_ref):
     dt = hr_ref.dtype
     oh = _onehot(loc_ref[:], cfg.u, dt)
     hs_t = jnp.dot(oh, hu_ref[:], preferred_element_type=jnp.float32).astype(dt)
-    attr, d2, maskf = _unpack_geo(cfg, geo_ref[:])
-    _fwd_tail(cfg, hs_t, hr_ref, d2, attr, maskf,
+    _fwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
               w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref,
               cfg.tile)
 
 
-def _bwd_tail(cfg, hs_t, hr_ref, d2, attr, maskf,
+def _bwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
               w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref,
               dagg_ref, tile):
     """Shared backward body: recompute + VJP given expanded ``hs_t`` [R, F].
@@ -293,14 +282,16 @@ def _bwd_tail(cfg, hs_t, hr_ref, d2, attr, maskf,
 
     E = _expand_matrix(T, K, dt)
     hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
+    attr = attr_ref[:]
     s = attr[:, 0:1]
     vV = _vstack(attr, cfg.v1)
     vH = _vstack(attr, Hv)
+    maskf = mask_ref[:]  # [R, 1]
     w01, w1s1, bd1 = w01_ref[:], w1s1_ref[:], bd1_ref[:]
     w02, w1s2, bd2 = w02_ref[:], w1s2_ref[:], bd2_ref[:]
 
     # ---- recompute forward ----
-    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2, attr)
+    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2_ref[:], attr)
     m0, m1, res1 = _layer_fwd(Xs, Xv, s, vV, vH, w01, w1s1, bd1, Hs, Hv)
     m0 = m0.astype(dt)
     m1 = m1.astype(dt)
@@ -348,22 +339,16 @@ def _accum_weight_grads(refs, vals):
         r[:] += v.astype(r.dtype)
 
 
-def _bwd_kernel(cfg: MessageConfig, stream_ref, hr_ref,
+def _bwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
                 w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
-                dstream_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
+                dhs_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
                 dw02_ref, dw1s2_ref, dw1v2_ref):
-    sv = stream_ref[:]
-    attr, d2, maskf = _unpack_geo(cfg, sv[:, cfg.f :])
     d_hs, d_hr, dws = _bwd_tail(
-        cfg, sv[:, : cfg.f], hr_ref, d2, attr, maskf,
+        cfg, hs_ref[:], hr_ref, d2_ref, attr_ref, mask_ref,
         w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
         cfg.tile,
     )
-    dt = dstream_ref.dtype
-    # geometry columns get zero cotangents (graph constants during training)
-    dstream_ref[:] = jnp.concatenate(
-        [d_hs.astype(dt), jnp.zeros((d_hs.shape[0], 6), dt)], axis=-1
-    )
+    dhs_ref[:] = d_hs.astype(dhs_ref.dtype)
     dhr_ref[:] = d_hr.astype(dhr_ref.dtype)
     _accum_weight_grads(
         (dw01_ref, dw1s1_ref, dw1v1_ref, dw02_ref, dw1s2_ref, dw1v2_ref), dws
@@ -371,7 +356,7 @@ def _bwd_kernel(cfg: MessageConfig, stream_ref, hr_ref,
 
 
 def _bwd_kernel_tab(cfg: MessageConfig, sub: int, hu_ref, hr_ref, loc_ref,
-                    geo_ref, w01_ref, w1s1_ref, bd1_ref,
+                    d2_ref, attr_ref, mask_ref, w01_ref, w1s1_ref, bd1_ref,
                     w02_ref, w1s2_ref, bd2_ref, dagg_ref,
                     dhu_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
                     dw02_ref, dw1s2_ref, dw1v2_ref):
@@ -382,9 +367,8 @@ def _bwd_kernel_tab(cfg: MessageConfig, sub: int, hu_ref, hr_ref, loc_ref,
     dt = hr_ref.dtype
     oh = _onehot(loc_ref[:], cfg.u, dt)
     hs_t = jnp.dot(oh, hu_ref[:], preferred_element_type=jnp.float32).astype(dt)
-    attr, d2, maskf = _unpack_geo(cfg, geo_ref[:])
     d_hs, d_hr, dws = _bwd_tail(
-        cfg, hs_t, hr_ref, d2, attr, maskf,
+        cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
         w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, dagg_ref,
         cfg.tile,
     )
@@ -403,16 +387,6 @@ def _bwd_kernel_tab(cfg: MessageConfig, sub: int, hu_ref, hr_ref, loc_ref,
     )
 
 
-def _pack_stream(hs, d2, attr, maskf):
-    """[R, F+6] = hs ‖ attr ‖ d2 ‖ mask — one Pallas operand instead of four
-    (narrow [R, 1]/[R, 4] operands are lane-padded to 128 in HBM: 128x the
-    memory and DMA for the geometry streams)."""
-    dt = hs.dtype
-    return jnp.concatenate(
-        [hs, attr.astype(dt), d2.astype(dt), maskf.astype(dt)], axis=-1
-    )
-
-
 def _specs(cfg: MessageConfig):
     T, K, F = cfg.tile, cfg.k, cfg.f
     Hs, Hv = cfg.hs, cfg.hv
@@ -420,8 +394,11 @@ def _specs(cfg: MessageConfig):
     row = lambda i: (i, 0)
     fix = lambda i: (0, 0)
     data_specs = [
-        pl.BlockSpec((T * K, F + 6), row, memory_space=pltpu.VMEM),  # stream
+        pl.BlockSpec((T * K, F), row, memory_space=pltpu.VMEM),  # hs
         pl.BlockSpec((T, F), row, memory_space=pltpu.VMEM),  # hr
+        pl.BlockSpec((T * K, 1), row, memory_space=pltpu.VMEM),  # d2 (flat)
+        pl.BlockSpec((T * K, 4), row, memory_space=pltpu.VMEM),  # attr
+        pl.BlockSpec((T * K, 1), row, memory_space=pltpu.VMEM),  # mask (flat)
     ]
     w_specs = [
         pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),  # W0 l1
@@ -448,29 +425,21 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_message_aggregate(cfg: MessageConfig, stream, hr,
+def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
                             w0e1, w1o1, w0e2, w1o2):
     """agg [N, F] = Σ_k mask · MLP(h_s ‖ h_r ‖ d², sh) — fused on-chip.
 
-    stream [N*K, F+6] packed edge stream (``pack_stream(hs, d2, attr, mask)``
-    — the custom_vjp boundary sits on the packed array so the saved residual
-    is ONE lane-dense buffer; separate [R, 1] residuals were 128x lane-padded
-    in HBM, 3.8 GB each at 1M points); hr [N, F]; weights with norms
-    pre-folded, in the reference row layout (w0e [S+V, hs+hv],
-    w1o [S+V, hv]).  N must be a multiple of cfg.tile (pad outside).
+    hs [N*K, F] gathered sender features (cm layout); hr [N, F]; d2 [N*K, 1];
+    attr [N*K, 4]; maskf [N*K, 1] float; weights with norms pre-folded, in the
+    reference row layout (w0e [S+V, hs+hv], w1o [S+V, hv]).
+    N must be a multiple of cfg.tile (pad outside).
     """
-    return _fwd_call(cfg, stream, hr, w0e1, w1o1, w0e2, w1o2)
+    return _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
 
 
-def pack_stream(hs, d2, attr, maskf):
-    """Alias of the packing helper for callers of the public kernel API."""
-    return _pack_stream(hs, d2, attr, maskf)
-
-
-def _fwd_call(cfg, stream, hr, w0e1, w1o1, w0e2, w1o2):
+def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
     n = hr.shape[0]
     assert n % cfg.tile == 0, (n, cfg.tile)
-    assert stream.shape == (n * cfg.k, cfg.f + 6), stream.shape
     n_tiles = n // cfg.tile
     data_specs, w_specs = _specs(cfg)
     ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
@@ -481,18 +450,18 @@ def _fwd_call(cfg, stream, hr, w0e1, w1o1, w0e2, w1o2):
         out_specs=pl.BlockSpec((cfg.tile, cfg.f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, cfg.f), hr.dtype),
         compiler_params=_COMPILER_PARAMS,
-    )(stream, hr, *ws)
+    )(hs, hr, d2, attr, maskf, *ws)
 
 
-def _vjp_fwd(cfg, stream, hr, w0e1, w1o1, w0e2, w1o2):
-    out = _fwd_call(cfg, stream, hr, w0e1, w1o1, w0e2, w1o2)
-    return out, (stream, hr, w0e1, w1o1, w0e2, w1o2)
+def _vjp_fwd(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
+    out = _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
+    return out, (hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
 
 
 def _vjp_bwd(cfg, residuals, d_agg):
     import dataclasses
 
-    stream, hr, w0e1, w1o1, w0e2, w1o2 = residuals
+    hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2 = residuals
     # the backward holds ~2x the live tensors (recompute + cotangents):
     # default to half the fwd tile to stay inside VMEM, tunable via bwd_tile
     bt = cfg.bwd_tile or (cfg.tile // 2 if cfg.tile % 2 == 0 else cfg.tile)
@@ -506,12 +475,9 @@ def _vjp_bwd(cfg, residuals, d_agg):
     ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
     fix = lambda i: (0, 0)
     # weight grads accumulate over ~N/tile grid steps: always fp32 in-kernel,
-    # cast back to the weight dtype after the call.  The sender cotangent is
-    # emitted as a full d_stream [R, F+6] with zero geometry columns — same
-    # padded HBM footprint as a bare [R, F] output, and it lets upstream AD
-    # slice d_hs out of the pack concat.
+    # cast back to the weight dtype after the call
     out_shapes = (
-        jax.ShapeDtypeStruct(stream.shape, stream.dtype),
+        jax.ShapeDtypeStruct(hs.shape, hs.dtype),
         jax.ShapeDtypeStruct(hr.shape, hr.dtype),
         jax.ShapeDtypeStruct((S1 + V1, Hs + Hv), jnp.float32),
         jax.ShapeDtypeStruct((S1, Hv), jnp.float32),
@@ -521,7 +487,7 @@ def _vjp_bwd(cfg, residuals, d_agg):
         jax.ShapeDtypeStruct((Hv, Hv), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((T * K, F + 6), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T * K, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
         pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),
@@ -530,7 +496,7 @@ def _vjp_bwd(cfg, residuals, d_agg):
         pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),
         pl.BlockSpec((Hv, Hv), fix, memory_space=pltpu.VMEM),
     )
-    (dstream, dhr, dw01, dw1s1, dw1v1, dw02, dw1s2, dw1v2) = pl.pallas_call(
+    (dhs, dhr, dw01, dw1s1, dw1v1, dw02, dw1s2, dw1v2) = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid=(n_tiles,),
         in_specs=data_specs
@@ -539,11 +505,12 @@ def _vjp_bwd(cfg, residuals, d_agg):
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=_COMPILER_PARAMS,
-    )(stream, hr, *ws, d_agg)
+    )(hs, hr, d2, attr, maskf, *ws, d_agg)
+    zeros = lambda x: jnp.zeros_like(x)
     wdt = w0e1.dtype
     d_w1o1 = jnp.concatenate([dw1s1, dw1v1], axis=0).astype(wdt)
     d_w1o2 = jnp.concatenate([dw1s2, dw1v2], axis=0).astype(wdt)
-    return (dstream, dhr,
+    return (dhs, dhr, zeros(d2), zeros(attr), zeros(maskf),
             dw01.astype(wdt), d_w1o1, dw02.astype(wdt), d_w1o2)
 
 
@@ -560,14 +527,6 @@ fused_message_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _pack_geo(d2, attr, maskf, dt):
-    """[R, 6] = attr ‖ d2 ‖ mask (tabled kernels: hu is table-shaped, so the
-    geometry gets its own packed stream instead of 3 lane-padded operands)."""
-    return jnp.concatenate(
-        [attr.astype(dt), d2.astype(dt), maskf.astype(dt)], axis=-1
-    )
-
-
 def _specs_tab(cfg: MessageConfig, tile: int, sub: int):
     """Input specs for the tabled kernels at node-tile size ``tile`` where
     ``sub`` consecutive grid steps share one table block."""
@@ -580,8 +539,10 @@ def _specs_tab(cfg: MessageConfig, tile: int, sub: int):
     data_specs = [
         pl.BlockSpec((U, F), tab, memory_space=pltpu.VMEM),  # hu (table rows)
         pl.BlockSpec((tile, F), row, memory_space=pltpu.VMEM),  # h (receivers)
-        pl.BlockSpec((tile * K, 1), row, memory_space=pltpu.VMEM),  # loc (int)
-        pl.BlockSpec((tile * K, 6), row, memory_space=pltpu.VMEM),  # geo pack
+        pl.BlockSpec((tile * K, 1), row, memory_space=pltpu.VMEM),  # loc
+        pl.BlockSpec((tile * K, 1), row, memory_space=pltpu.VMEM),  # d2
+        pl.BlockSpec((tile * K, 4), row, memory_space=pltpu.VMEM),  # attr
+        pl.BlockSpec((tile * K, 1), row, memory_space=pltpu.VMEM),  # mask
     ]
     w_specs = [
         pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
@@ -629,7 +590,7 @@ def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, cfg.f), h.dtype),
         compiler_params=_COMPILER_PARAMS,
-    )(hu, h, loc, _pack_geo(d2, attr, maskf, h.dtype), *ws)
+    )(hu, h, loc, d2, attr, maskf, *ws)
 
 
 def _vjp_fwd_tab(cfg, h, d2, attr, maskf, loc, gtab, rtab,
@@ -687,7 +648,7 @@ def _vjp_bwd_tab(cfg, residuals, d_agg):
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=_COMPILER_PARAMS,
-    )(hu, h, loc, _pack_geo(d2, attr, maskf, h.dtype), *ws, d_agg)
+    )(hu, h, loc, d2, attr, maskf, *ws, d_agg)
 
     # sender gradients: dense reverse-table gather-sum (no scatter) —
     # node v's cotangent is the sum of its d_hu rows across the <=Q tiles

@@ -43,6 +43,28 @@ def _expand_matrix(T, K, dtype):
     return (grp == tgt).astype(dtype)
 
 
+def _expand_geo(geo_block, T, K, G):
+    """Node-major geometry [T, K*G] -> per-edge-slot rows [R=T*K, G].
+
+    The geometry streams ride ONE lane-dense [N, K*G] operand: separate
+    [R, 1] operands/residuals are lane-padded to 128 in HBM (128x
+    memory/DMA — 3.8 GB per piece at 1M points/K=16), and packing geometry
+    into the hs stream costs a full [R, F+G] concat round trip per layer.
+    Mosaic cannot reshape lanes into sublanes, so the expansion runs as
+    E-expand (MXU) + slot mask + a group-sum matmul."""
+    R = T * K
+    dt = geo_block.dtype
+    E = _expand_matrix(T, K, dt)
+    rep = jnp.dot(E, geo_block, preferred_element_type=jnp.float32)  # [R, K*G]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (R, K * G), 0) % K
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, K * G), 1) // G
+    masked = jnp.where(slot == col, rep, 0.0).astype(dt)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (K * G, G), 0) % G
+    gj = jax.lax.broadcasted_iota(jnp.int32, (K * G, G), 1)
+    summer = (gi == gj).astype(dt)
+    return jnp.dot(masked, summer, preferred_element_type=jnp.float32).astype(dt)
+
+
 class FusedMessageGeneric:
     """Fused message MLP + masked K-slot aggregation for one SEGNN layer.
 
@@ -60,23 +82,24 @@ class FusedMessageGeneric:
         self.tile = tile
         self.bwd_tile = bwd_tile or max(tile // 2, 8)
 
-        # the custom_vjp boundary sits on the PACKED stream: the residual is
-        # one lane-dense [R, F+A+2] buffer.  With separate pieces, each
-        # [R, 1] residual materializes (8,128)-tiled in HBM — a 128x memory
-        # expansion, 3.8 GB per piece at 1M points / K=16.
-        def call(params_tuple, stream, hr):
-            return self._fwd_call(params_tuple, stream, hr)
+        # geometry rides a node-major lane-dense [N, K*(A+2)] operand and
+        # expands to per-slot rows in-kernel: flat [R, 1] operands/residuals
+        # materialize (8,128)-tiled in HBM (128x expansion, 3.8 GB per piece
+        # at 1M points / K=16), and packing geometry into the hs stream
+        # costs a full [R, F+A+2] concat round-trip per layer.
+        def call(params_tuple, hs, hr, geo2):
+            return self._fwd_call(params_tuple, hs, hr, geo2)
 
-        def call_fwd(params_tuple, stream, hr):
-            out = self._fwd_call(params_tuple, stream, hr)
-            return out, (params_tuple, stream, hr)
+        def call_fwd(params_tuple, hs, hr, geo2):
+            out = self._fwd_call(params_tuple, hs, hr, geo2)
+            return out, (params_tuple, hs, hr, geo2)
 
         def call_bwd(res, d_agg):
-            params_tuple, stream, hr = res
-            d_params, dstream, dhr = self._bwd_call(
-                params_tuple, stream, hr, d_agg
+            params_tuple, hs, hr, geo2 = res
+            d_params, dhs, dhr = self._bwd_call(
+                params_tuple, hs, hr, geo2, d_agg
             )
-            return (d_params, dstream, dhr)
+            return (d_params, dhs, dhr, jnp.zeros_like(geo2))
 
         self._call = jax.custom_vjp(call)
         self._call.defvjp(call_fwd, call_bwd)
@@ -98,39 +121,30 @@ class FusedMessageGeneric:
         row = lambda i: (i, 0)
         fix = lambda i: (0, 0)
         data = [
-            # one packed edge stream [R, f+a+2] = hs ‖ attr ‖ d2 ‖ mask:
-            # separate [R, 1]/[R, a] operands would each be lane-padded to
-            # 128 in HBM by the Pallas operand layout (128x memory expansion
-            # — 3.8 GB per stream at 1M points/K=16), while packing into the
-            # hs array is free (hs already pads f -> 128)
-            pl.BlockSpec((T * K, f + a + 2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T * K, f), row, memory_space=pltpu.VMEM),  # hs
             pl.BlockSpec((T, f), row, memory_space=pltpu.VMEM),  # hr
+            pl.BlockSpec((T, K * (a + 2)), row, memory_space=pltpu.VMEM),
         ]
         ws = [pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM) for w in wdefs]
         return data, ws
 
-    @staticmethod
-    def _pack(hs, d2, attr, maskf):
-        dt = hs.dtype
-        return jnp.concatenate(
-            [hs, attr.astype(dt), d2.astype(dt), maskf.astype(dt)], axis=-1
-        )
+    def _geo_rows(self, geo_ref, tile, a):
+        """[T, K*(a+2)] node-major geometry -> (d2, attr, mask) [R, ·]."""
+        g = _expand_geo(geo_ref[:], tile, self.k, a + 2)
+        return g[:, a : a + 1], g[:, :a], g[:, a + 1 : a + 2]
 
-    def _unpack(self, stream_ref, f, a):
-        s = stream_ref[:]
-        return (s[:, :f], s[:, f + a : f + a + 1], s[:, f : f + a],
-                s[:, f + a + 1 : f + a + 2])
-
-    def _fwd_call(self, params_tuple, stream, hr):
+    def _fwd_call(self, params_tuple, hs, hr, geo2):
         n, f = hr.shape
-        a = stream.shape[-1] - f - 2
+        a = geo2.shape[-1] // self.k - 2
         tile = self.tile
         assert n % tile == 0, (n, tile)
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
 
         def kernel(*refs):
-            (stream_ref, hr_ref), w_refs, out_ref = refs[:2], refs[2:-1], refs[-1]
-            hs_t, d2_t, attr_t, mask_t = self._unpack(stream_ref, f, a)
+            (hs_ref, hr_ref, geo_ref), w_refs, out_ref = (
+                refs[:3], refs[3:-1], refs[-1])
+            d2_t, attr_t, mask_t = self._geo_rows(geo_ref, tile, a)
+            hs_t = hs_ref[:]
             dt = hs_t.dtype
             E = _expand_matrix(tile, self.k, dt)
             hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32
@@ -150,22 +164,23 @@ class FusedMessageGeneric:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, f), hr.dtype),
             compiler_params=_COMPILER_PARAMS,
-        )(stream, hr, *flat)
+        )(hs, hr, geo2, *flat)
 
-    def _bwd_call(self, params_tuple, stream, hr, d_agg):
+    def _bwd_call(self, params_tuple, hs, hr, geo2, d_agg):
         n, f = hr.shape
-        a = stream.shape[-1] - f - 2
+        a = geo2.shape[-1] // self.k - 2
         tile = self.bwd_tile
         assert n % tile == 0, (n, tile)
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
 
         def kernel(*refs):
-            stream_ref, hr_ref = refs[:2]
-            w_refs = refs[2 : 2 + len(flat)]
-            dagg_ref = refs[2 + len(flat)]
-            dstream_ref, dhr_ref = refs[3 + len(flat) : 5 + len(flat)]
-            dw_refs = refs[5 + len(flat) :]
-            hs_t, d2_t, attr_t, mask_t = self._unpack(stream_ref, f, a)
+            hs_ref, hr_ref, geo_ref = refs[:3]
+            w_refs = refs[3 : 3 + len(flat)]
+            dagg_ref = refs[3 + len(flat)]
+            dhs_ref, dhr_ref = refs[4 + len(flat) : 6 + len(flat)]
+            dw_refs = refs[6 + len(flat) :]
+            d2_t, attr_t, mask_t = self._geo_rows(geo_ref, tile, a)
+            hs_t = hs_ref[:]
             dt = hs_t.dtype
             E = _expand_matrix(tile, self.k, dt)
             wvals = jax.tree_util.tree_unflatten(
@@ -179,11 +194,7 @@ class FusedMessageGeneric:
 
             _, vjp = jax.vjp(fn, wvals, hs_t, hr_ref[:])
             d_w, d_hs, d_hr = vjp(dagg_ref[:].astype(jnp.float32))
-            # zero cotangents for the geometry columns (graph constants)
-            dstream_ref[:] = jnp.concatenate(
-                [d_hs.astype(dt), jnp.zeros((d_hs.shape[0], a + 2), dt)],
-                axis=-1,
-            ).astype(dstream_ref.dtype)
+            dhs_ref[:] = d_hs.astype(dhs_ref.dtype)
             dhr_ref[:] = d_hr.astype(dhr_ref.dtype)
             dw_flat = jax.tree_util.tree_leaves(d_w)
 
@@ -200,11 +211,11 @@ class FusedMessageGeneric:
         data_specs, w_specs = self._specs(tile, f, a, flat)
         fix = lambda i: (0, 0)
         out_shapes = (
-            jax.ShapeDtypeStruct(stream.shape, stream.dtype),
+            jax.ShapeDtypeStruct(hs.shape, hs.dtype),
             jax.ShapeDtypeStruct(hr.shape, hr.dtype),
         ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat)
         out_specs = (
-            pl.BlockSpec((tile * self.k, f + a + 2), lambda i: (i, 0),
+            pl.BlockSpec((tile * self.k, f), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ) + tuple(
@@ -219,13 +230,13 @@ class FusedMessageGeneric:
             out_specs=out_specs,
             out_shape=out_shapes,
             compiler_params=_COMPILER_PARAMS,
-        )(stream, hr, *flat, d_agg)
-        dstream, dhr = outs[0], outs[1]
+        )(hs, hr, geo2, *flat, d_agg)
+        dhs, dhr = outs[0], outs[1]
         dw_flat = [
             d.astype(w.dtype) for d, w in zip(outs[2:], flat)
         ]
         d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
-        return d_params, dstream, dhr
+        return d_params, dhs, dhr
 
     # ---- public entry ----
 
@@ -247,15 +258,21 @@ class FusedMessageGeneric:
         """agg [N, F] = Σ_k mask · MLP(h_s ‖ h_r ‖ d², attr).
 
         hs [N*K, F] gathered sender features (cm layout); hr [N, F];
-        d2/maskf [N*K, 1]; attr [N*K, A].  N must divide by ``tile`` and
-        ``bwd_tile``.  The pieces fuse into one packed stream before the
-        custom_vjp boundary; their cotangents come back through the concat
-        transpose (d_hs slice; geometry branches are dead).
+        d2/maskf [N*K, 1]; attr [N*K, A] (repacked node-major here — the
+        dispatch-path entry is ``geo_call``).  N must divide by ``tile``
+        and ``bwd_tile``.
         """
-        stream = self._pack(hs, d2, attr, maskf)
-        return self._call(self._fold(params_tuple), stream, hr)
+        n, f = hr.shape
+        a = attr.shape[-1]
+        dt = hs.dtype
+        geo2 = jnp.concatenate(
+            [attr.astype(dt).reshape(n, self.k, a),
+             d2.astype(dt).reshape(n, self.k, 1),
+             maskf.astype(dt).reshape(n, self.k, 1)], axis=-1,
+        ).reshape(n, self.k * (a + 2))
+        return self.geo_call(params_tuple, hs, hr, geo2)
 
-    def packed_call(self, params_tuple, stream, hr):
-        """Entry for callers that build the packed stream themselves (e.g.
-        in 3-D [N, K, ·] form to avoid flat [R, 1] intermediates)."""
-        return self._call(self._fold(params_tuple), stream, hr)
+    def geo_call(self, params_tuple, hs, hr, geo2):
+        """Dispatch entry: hs [N*K, F], hr [N, F], geo2 [N, K*(A+2)]
+        node-major packed geometry (attr ‖ d2 ‖ mask per slot)."""
+        return self._call(self._fold(params_tuple), hs, hr, geo2)

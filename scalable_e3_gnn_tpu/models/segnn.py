@@ -307,7 +307,8 @@ class SEGNNLayer:
             """Message MLP + K-sum over a block of nodes (pallas or jnp)."""
             if self.use_pallas and gt is not None and h_ext_ is h_local_b:
                 return self._fused_messages_tabled(
-                    msg_params, h_local_b, edge_attr_b, dist2_b, mask_b, gt
+                    msg_params, h_local_b, edge_attr_b, dist2_b, mask_b, gt,
+                    edge_geo=geo,
                 )
             if self.use_pallas:
                 return self._fused_messages(
@@ -367,9 +368,13 @@ class SEGNNLayer:
                 u = layer(upd_params[f"upd_{i}"], u, node_attr)
             return u
 
-        if self.remat:
-            # the update TP's outer-product z ([N, ~1.6k] at lmax=2) is the
-            # largest node-level intermediate — recompute it in the backward
+        if self.remat and any(
+            isinstance(l.tp, TensorProduct) for l in self.update_layers
+        ):
+            # the generic TP's outer-product z ([N, ~1.6k] at lmax=2) is the
+            # largest node-level intermediate — recompute it in the backward.
+            # The L1 fast path has no such blow-up; recomputing it would only
+            # cost time (~5 ms/step at the 100k bench config).
             upd_fn = jax.checkpoint(upd_fn)
         h = h_local + upd_fn(params, h_local, agg)
         return jnp.where(node_mask[:, None], h, 0.0)
@@ -378,9 +383,15 @@ class SEGNNLayer:
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask,
         reverse_slot=None, edge_geo=None,
     ):
-        """Dispatch the message MLP + aggregation to the Pallas fused kernel."""
-        from ..kernels.fused_message import (MessageConfig,
-                                             fused_message_aggregate)
+        """Dispatch the message MLP + aggregation to the Pallas fused kernel.
+
+        The lmax=1 kernel keeps separate geometry operands — measured
+        fastest at the 100k config (in-kernel geo expansion and packed
+        streams both cost more than the padded-operand DMA there);
+        ``edge_geo`` is accepted for dispatch uniformity and unused.
+        The generic kernel (1M+/lmax>=2) uses the node-major geo2 form
+        instead, where HBM capacity is the binding constraint."""
+        from ..kernels.fused_message import MessageConfig, fused_message_aggregate
 
         n, k = senders.shape
         f = h_local.shape[-1]
@@ -399,31 +410,47 @@ class SEGNNLayer:
             hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
         else:
             hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
-        # pack the edge stream: hs ‖ attr ‖ d2 ‖ mask.  Prefer the
-        # precomputed geometry pack (edge_geo) — building the [.., 1] pieces
-        # inside the step materializes 128x-lane-padded [N*K, 1] temps
-        dt = h_local.dtype
-        if edge_geo is not None:
-            parts = [hs, edge_geo.astype(dt)]
-        else:
-            parts = [hs, edge_attr.astype(dt),
-                     edge_dist2[..., None].astype(dt),
-                     edge_mask[..., None].astype(dt)]
-        stream = jnp.concatenate(parts, axis=-1).reshape(n * k, f + 6)
+        hs = hs.reshape(n * k, f)
+        attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
+        # d2/mask flattened to [N*K, 1] outside the kernel (Mosaic cannot
+        # reshape lane dims into sublanes in-kernel)
+        maskf = edge_mask.astype(h_local.dtype).reshape(n * k, 1)
+        d2 = edge_dist2.reshape(n * k, 1)
         if npad != n:
             pe = (npad - n) * k
-            stream = jnp.concatenate([stream, jnp.zeros((pe, f + 6), dt)])
+            hs = jnp.concatenate([hs, jnp.zeros((pe, f), hs.dtype)])
+            attr = jnp.concatenate([attr, jnp.zeros((pe, attr.shape[-1]), attr.dtype)])
             h_local_p = jnp.concatenate(
                 [h_local, jnp.zeros((npad - n, f), h_local.dtype)]
             )
+            d2 = jnp.concatenate([d2, jnp.zeros((pe, 1), d2.dtype)])
+            maskf = jnp.concatenate([maskf, jnp.zeros((pe, 1), maskf.dtype)])
         else:
             h_local_p = h_local
 
         w0e1, w1o1, w0e2, w1o2 = self._folded_weights(params, h_local.dtype)
         agg = fused_message_aggregate(
-            cfg, stream, h_local_p, w0e1, w1o1, w0e2, w1o2
+            cfg, hs, h_local_p, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2
         )
         return agg[:n]
+
+    @staticmethod
+    def _geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt):
+        """Node-major packed geometry [N, K*(A+2)] for the fused kernels.
+
+        Prefers the precomputed ``edge_geo`` (compute_attributes_dense) —
+        the reshape is a bitcast.  The fallback concat keeps everything
+        [N, K, ·]-shaped (no flat [N*K, 1] temps, which materialize
+        128x-lane-padded)."""
+        if edge_geo is not None:
+            n = edge_geo.shape[0]
+            return edge_geo.astype(dt).reshape(n, -1)
+        n = edge_attr.shape[0]
+        geo = jnp.concatenate(
+            [edge_attr.astype(dt), edge_dist2[..., None].astype(dt),
+             edge_mask[..., None].astype(dt)], axis=-1,
+        )
+        return geo.reshape(n, -1)
 
     def _folded_weights(self, params, dtp):
         """Message-layer weights with per-column norm constants folded in."""
@@ -441,7 +468,8 @@ class SEGNNLayer:
         return w0e1, w1o1, w0e2, w1o2
 
     def _fused_messages_tabled(
-        self, params, h_local, edge_attr, edge_dist2, edge_mask, gather
+        self, params, h_local, edge_attr, edge_dist2, edge_mask, gather,
+        edge_geo=None,
     ):
         """Tabled-gather dispatch: per-tile compact sender tables
         (graph.container.with_gather_tables) replace the [N*K, F] row gather
@@ -501,22 +529,14 @@ class SEGNNLayer:
             hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
         else:
             hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
-        # pack the stream: prefer the precomputed geometry pack (edge_geo) —
-        # building the [.., 1] pieces inside the step materializes
-        # 128x-lane-padded [N*K, 1] temps, 3.8 GB per piece at 1M points
         dt = h_local.dtype
-        if edge_geo is not None:
-            parts = [hs, edge_geo.astype(dt)]
-        else:
-            parts = [hs, edge_attr.astype(dt),
-                     edge_dist2[..., None].astype(dt),
-                     edge_mask[..., None].astype(dt)]
-        stream = jnp.concatenate(parts, axis=-1).reshape(n * k, -1)
+        hs = hs.reshape(n * k, f)
+        geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
         h_p = h_local
         if npad != n:
-            pe = (npad - n) * k
-            stream = jnp.concatenate(
-                [stream, jnp.zeros((pe, stream.shape[-1]), dt)]
+            hs = jnp.concatenate([hs, jnp.zeros(((npad - n) * k, f), dt)])
+            geo2 = jnp.concatenate(
+                [geo2, jnp.zeros((npad - n, geo2.shape[-1]), geo2.dtype)]
             )
             h_p = jnp.concatenate(
                 [h_local, jnp.zeros((npad - n, f), h_local.dtype)]
@@ -524,7 +544,7 @@ class SEGNNLayer:
         ptuple = tuple(
             params[f"msg_{i}"] for i in range(len(self.message_layers))
         )
-        return kern.packed_call(ptuple, stream, h_p)[:n]
+        return kern.geo_call(ptuple, hs, h_p, geo2)[:n]
 
     def __call__(
         self,

@@ -148,7 +148,7 @@ def layer_level():
                   num_layers=1, layout="cm", use_pallas=True)
     params = model.init(jax.random.key(0))
     layer = model.layers[0]
-    edge_attr, node_attr, dist2, _geo = jax.jit(model.compute_attributes_dense)(g0)
+    edge_attr, node_attr, dist2 = jax.jit(model.compute_attributes_dense)(g0)
     dt = jnp.bfloat16 if BF16 else jnp.float32
     n, k = g0.senders.shape
     f = layer.hidden_irreps.dim

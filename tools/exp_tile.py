@@ -13,8 +13,7 @@ import jax.numpy as jnp
 
 from scalable_e3_gnn_tpu.core.irreps import Irreps
 from scalable_e3_gnn_tpu.kernels.fused_message import (MessageConfig,
-                                                       fused_message_aggregate,
-                                                       pack_stream)
+                                                       fused_message_aggregate)
 from scalable_e3_gnn_tpu.models.segnn import SEGNN
 
 N = 99_840  # multiple of 256*... (div by 512)
@@ -51,15 +50,14 @@ def main():
     for tile, bwd_tile in ((64, 32), (64, 64), (128, 64), (128, 128), (256, 128)):
         cfg = MessageConfig(hs=HS, hv=HV, k=K, tile=tile, bwd_tile=bwd_tile)
         f = jax.jit(
-            lambda hs_, hr_, *w, cfg=cfg: fused_message_aggregate(
-                cfg, pack_stream(hs_, d2, attr, maskf), hr_, *w)
+            lambda *a, cfg=cfg: fused_message_aggregate(cfg, *a)
         )
-        timed(f"fused fwd tile={tile}", f, hs, hr,
+        timed(f"fused fwd tile={tile}", f, hs, hr, d2, attr, maskf,
               w0e1, w1o1, w0e2, w1o2, iters=30)
         g = jax.jit(
             jax.grad(
                 lambda hs_, hr_, w1, w2, w3, w4, cfg=cfg: fused_message_aggregate(
-                    cfg, pack_stream(hs_, d2, attr, maskf), hr_, w1, w2, w3, w4
+                    cfg, hs_, hr_, d2, attr, maskf, w1, w2, w3, w4
                 ).astype(jnp.float32).sum(),
                 argnums=(0, 1, 2, 3, 4, 5),
             )
