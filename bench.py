@@ -134,6 +134,36 @@ def main():
     fwd = jax.jit(lambda p: model(p, graph_t, attrs=attrs))
     _, fwd_s = _timed(fwd, state.params, iters=10)
 
+    # config-4 proxy: 250k points, lmax=2, K=16 — generic CG-folded-GEMM
+    # fused kernel (full 1M measured separately: ~6.05 s/step)
+    pts250 = rng.random((250_000, 3)).astype(np.float32)
+    r250 = RADIUS * (N_POINTS / 250_000) ** (1 / 3)
+    tree250 = jax.jit(lambda p: build_octree(p, LO, HI, num_levels=7))(
+        jnp.asarray(pts250))
+    e250 = jax.jit(lambda t: radius_graph_cell(
+        t, r250, LO, HI, max_neighbors=16, cell_capacity=64))(tree250)
+    g250 = DenseEdgeGraph.from_radius_edges(
+        jnp.asarray(rng.standard_normal((250_000, 5)).astype(np.float32)),
+        tree250.points, e250, symmetrize=True)
+    m2 = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"), Irreps("1x1o"),
+               lmax_attr=2, num_layers=NUM_LAYERS, remat=True, layout="cm",
+               use_pallas=True)
+    p2 = m2.init(jax.random.key(0))
+    a2 = jax.jit(m2.compute_attributes_dense)(g250)
+    g250b = g250._replace(nodes=g250.nodes.astype(jnp.bfloat16))
+    a2 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, a2)
+    t2 = jnp.asarray(rng.standard_normal((250_000, 3)), jnp.float32)
+
+    def loss2(p, g, a, t):
+        p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+        return mse_loss(m2(p, g, attrs=a).astype(jnp.float32), t)
+
+    step2 = make_train_step(loss2, optax.adam(1e-3), donate=False)
+    st2 = make_train_state(p2, optax.adam(1e-3))
+    (_, _), lmax2_s = _timed(lambda s: step2(s, g250b, a2, t2), st2, iters=3)
+    n_edges2 = int(g250.edge_mask.sum())
+
     edges_per_s = num_edges / step_s
 
     print(
@@ -151,6 +181,8 @@ def main():
                     "octree_build_ms_100k": round(octree_s * 1e3, 2),
                     "octree_build_ms_10m": round(octree10m_s * 1e3, 1),
                     "radius_graph_ms_100k": round(radius_s * 1e3, 2),
+                    "lmax2_250k_step_ms": round(lmax2_s * 1e3, 1),
+                    "lmax2_250k_edges_per_s": round(n_edges2 / lmax2_s, 1),
                     "hidden": HIDDEN,
                     "layers": NUM_LAYERS,
                     "device": str(jax.devices()[0]),

@@ -86,3 +86,9 @@ def test_generic_respects_mask():
     with pltpu.force_tpu_interpret_mode():
         pal = np.array(m_pal(params, g2))
     np.testing.assert_allclose(pal, ref, atol=2e-5)
+
+
+# NOTE: remat_kernel=True (the 1M-point memory mode) cannot be exercised in
+# interpret mode — jax.checkpoint rejects the ordered-IO effects interpret-
+# mode pallas_call carries.  Its numerical parity is jax.checkpoint's
+# contract; the 1M-point config-4 run drives it on real hardware.
