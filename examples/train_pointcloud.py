@@ -72,23 +72,14 @@ def main():
             )
         )(tree)
     else:
-        # segment the build: one device program per 1M rows (a single
-        # multi-minute program can trip the runtime watchdog)
-        assert n % seg == 0
-        build_seg = jax.jit(
-            lambda t, start: radius_graph_cell(
-                t, radius, lo, hi, max_neighbors=args.neighbors,
-                cell_capacity=capacity, row_range=(start, seg),
-            )
-        )
-        parts = [build_seg(tree, off) for off in range(0, n, seg)]
-        from scalable_e3_gnn_tpu.graph.radius import RadiusEdges
+        # cell-segmented build: one device program per cell range (a single
+        # multi-minute program can trip the runtime watchdog); cell-major
+        # internals, ~25x faster than row-range segments at 10M points
+        from scalable_e3_gnn_tpu.graph.radius import radius_graph_cell_segments
 
-        edges = RadiusEdges(
-            senders=jnp.concatenate([p.senders for p in parts]),
-            receivers=jnp.concatenate([p.receivers for p in parts]),
-            mask=jnp.concatenate([p.mask for p in parts]),
-            num_edges=sum(p.num_edges for p in parts),
+        edges = radius_graph_cell_segments(
+            tree, radius, lo, hi, max_neighbors=args.neighbors,
+            cell_capacity=capacity, num_segments=max(2, n // seg),
         )
     print(f"N={n} edges={int(edges.num_edges)} radius={radius:.4f} levels={levels}")
 

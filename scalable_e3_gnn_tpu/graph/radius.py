@@ -29,6 +29,7 @@ __all__ = [
     "RadiusEdges",
     "radius_graph_brute",
     "radius_graph_cell",
+    "radius_graph_cell_segments",
     "search_level_for_radius",
     "suggest_cell_capacity",
 ]
@@ -242,28 +243,55 @@ def _radius_graph_cell_major(
     level: Optional[int],
     block_size: int,
 ) -> RadiusEdges:
+    senders_cs, mask_cs = _cell_major_slots(
+        tree, radius, lo, hi, max_neighbors, cell_capacity, level, block_size
+    )
+    return _compact_cell_slots(
+        tree, radius, lo, hi, max_neighbors, cell_capacity, level,
+        senders_cs, mask_cs,
+    )
+
+
+def _resolve_level(tree, radius, lo, hi, level):
+    if level is None:
+        level = search_level_for_radius(radius, lo, hi)
+    return min(level, tree.num_levels - 1)
+
+
+def _cell_major_slots(
+    tree, radius, lo, hi, max_neighbors, cell_capacity, level, block_size,
+    cell_range=None,
+):
+    """Nearest-K selection for a range of whole CELLS, in cell-slot space.
+
+    Returns (senders [C*cap, K], mask [C*cap, K]) where slot row c*cap+o is
+    the o-th point of processed cell c.  ``cell_range=(c0, C)`` restricts to
+    cells c0..c0+C (C static, c0 may be traced — one compiled program serves
+    every segment of a 10M-point build); default is all cells.
+    """
     n = tree.num_points
     k = max_neighbors
     cap = cell_capacity
-    if level is None:
-        level = search_level_for_radius(radius, lo, hi)
-    level = min(level, tree.num_levels - 1)
+    level = _resolve_level(tree, radius, lo, hi, level)
     pts = tree.points
     cell_code = tree.cell_code[level]
     cell_start = tree.cell_start[level]
     cell_count = tree.cell_count[level]
     capc = cell_code.shape[0]
 
+    cells0, ncells = (0, capc) if cell_range is None else cell_range
+    cells0 = jnp.asarray(cells0, jnp.int32)
     cb = max(1, block_size // cap)  # cells per block
-    nb = -(-capc // cb)
-    pad_c = nb * cb - capc
+    nb = -(-ncells // cb)
+    # pad enough for any (traced) cells0: one extra block always suffices
+    pad_c = nb * cb + cb
     code_p = jnp.concatenate([cell_code, jnp.full((pad_c,), CODE_SENTINEL, jnp.int32)])
     start_p = jnp.concatenate([cell_start, jnp.full((pad_c,), n, jnp.int32)])
     count_p = jnp.concatenate([cell_count, jnp.zeros((pad_c,), jnp.int32)])
     slot = jnp.arange(cap, dtype=jnp.int32)
 
     def one_block(b):
-        c0 = b * cb
+        c0 = cells0 + b * cb
         ccode = jax.lax.dynamic_slice(code_p, (c0,), (cb,))
         cstart = jax.lax.dynamic_slice(start_p, (c0,), (cb,))
         ccount = jax.lax.dynamic_slice(count_p, (c0,), (cb,))
@@ -305,12 +333,25 @@ def _radius_graph_cell_major(
         )
 
     senders_cs, mask_cs = jax.lax.map(one_block, jnp.arange(nb))
-    senders_cs = senders_cs.reshape(nb * cb * cap, k)
-    mask_cs = mask_cs.reshape(nb * cb * cap, k)
+    return (senders_cs.reshape(nb * cb * cap, k),
+            mask_cs.reshape(nb * cb * cap, k))
 
-    # compact cell-slot rows back to point rows: point i in cell of rank c at
-    # offset (i - run_start) sits at slot c*cap + offset.  run_start comes
-    # from a scan over the tree's per-point ranks — no cell-table gather.
+
+def _compact_cell_slots(
+    tree, radius, lo, hi, max_neighbors, cell_capacity, level,
+    senders_cs, mask_cs,
+) -> RadiusEdges:
+    """Cell-slot results [>=capc*cap, K] -> point-row RadiusEdges.
+
+    Point i in the cell of rank c at offset (i - run_start) sits at slot
+    c*cap + offset; run_start comes from a scan over the tree's per-point
+    ranks — no cell-table gather.
+    """
+    n = tree.num_points
+    k = max_neighbors
+    cap = cell_capacity
+    level = _resolve_level(tree, radius, lo, hi, level)
+    nslots = senders_cs.shape[0]
     rank = tree.point_cell[level]
     pidx = jnp.arange(n, dtype=jnp.int32)
     flags = (
@@ -322,7 +363,7 @@ def _radius_graph_cell_major(
     pslot = rank * cap + (pidx - run_start)
     # points past an overflowing cell's capacity keep no edges (doc'd above)
     in_cap = (pidx - run_start) < cap
-    pslot = jnp.where(in_cap, pslot, nb * cb * cap)
+    pslot = jnp.where(in_cap, pslot, nslots)
     senders = jnp.take(senders_cs, pslot, axis=0, mode="fill", fill_value=0)
     mask = jnp.take(mask_cs, pslot, axis=0, mode="fill", fill_value=False)
     senders = senders.reshape(-1)[: n * k]
@@ -330,6 +371,46 @@ def _radius_graph_cell_major(
     receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     senders = jnp.where(mask, senders, n).astype(jnp.int32)
     return RadiusEdges(senders, receivers, mask, mask.sum().astype(jnp.int32))
+
+
+def radius_graph_cell_segments(
+    tree: Octree,
+    radius: float,
+    lo: Tuple[float, float, float],
+    hi: Tuple[float, float, float],
+    max_neighbors: int,
+    cell_capacity: int = 64,
+    level: Optional[int] = None,
+    block_size: int = 1024,
+    num_segments: int = 8,
+) -> RadiusEdges:
+    """Cell-segmented build for clouds too big for one compiled program.
+
+    Splits the search level's CELLS into ``num_segments`` contiguous ranges,
+    runs the cell-major kernel per range (one compiled program, traced cell
+    offset), assembles the cell-slot results and compacts once.  ~25x faster
+    at 10M points than the row-segmented path (which re-gathers the stencil
+    candidates per POINT).  Host-side loop: call outside jit.
+    """
+    lv = _resolve_level(tree, radius, lo, hi, level)
+    capc = tree.cell_code[lv].shape[0]
+    cap = cell_capacity
+    cb = max(1, block_size // cap)
+    # segment size in cells, rounded to whole blocks
+    seg = -(-capc // num_segments)
+    seg = -(-seg // cb) * cb
+    fn = jax.jit(
+        lambda t, c0: _cell_major_slots(
+            t, radius, lo, hi, max_neighbors, cap, lv, block_size,
+            cell_range=(c0, seg),
+        )
+    )
+    parts = [fn(tree, jnp.int32(c0)) for c0 in range(0, capc, seg)]
+    senders_cs = jnp.concatenate([p[0] for p in parts])
+    mask_cs = jnp.concatenate([p[1] for p in parts])
+    return _compact_cell_slots(
+        tree, radius, lo, hi, max_neighbors, cap, lv, senders_cs, mask_cs
+    )
 
 
 def _radius_graph_row_major(

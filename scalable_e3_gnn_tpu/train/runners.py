@@ -213,19 +213,14 @@ def run_pointcloud(
             )
         )(tree)
     else:
-        assert n % seg == 0
-        build_seg = jax.jit(
-            lambda t, start: radius_graph_cell(
-                t, radius, lo, hi, max_neighbors=cfg.graph.max_neighbors,
-                cell_capacity=capacity, row_range=(start, seg),
-            )
-        )
-        parts = [build_seg(tree, off) for off in range(0, n, seg)]
-        edges = RadiusEdges(
-            senders=jnp.concatenate([p.senders for p in parts]),
-            receivers=jnp.concatenate([p.receivers for p in parts]),
-            mask=jnp.concatenate([p.mask for p in parts]),
-            num_edges=sum(p.num_edges for p in parts),
+        # cell-segmented build: the cell-major kernel over contiguous CELL
+        # ranges (one compiled program, traced offset) — ~25x faster than
+        # row-range segments, which re-gather stencil candidates per point
+        from ..graph.radius import radius_graph_cell_segments
+
+        edges = radius_graph_cell_segments(
+            tree, radius, lo, hi, max_neighbors=cfg.graph.max_neighbors,
+            cell_capacity=capacity, num_segments=max(2, n // seg),
         )
 
     masses_sorted = jnp.asarray(masses)[tree.order]

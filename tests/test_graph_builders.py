@@ -174,3 +174,19 @@ def test_search_level():
     assert search_level_for_radius(4.0, LO, HI) == 1
     assert search_level_for_radius(0.5, LO, HI) == 4
     assert search_level_for_radius(1e-9, LO, HI) == BITS
+
+
+def test_radius_cell_segments_match_full():
+    """Cell-segmented build == single cell-major build, row for row."""
+    from scalable_e3_gnn_tpu.graph.radius import radius_graph_cell_segments
+
+    pts = _cloud(n=500, seed=11)
+    tree = build_octree(pts, LO, HI, num_levels=5)
+    r = 0.45
+    full = radius_graph_cell(tree, r, LO, HI, max_neighbors=24,
+                             cell_capacity=64, block_size=128)
+    seg = radius_graph_cell_segments(tree, r, LO, HI, max_neighbors=24,
+                                     cell_capacity=64, block_size=128,
+                                     num_segments=3)
+    assert (np.array(full.senders) == np.array(seg.senders)).all()
+    assert (np.array(full.mask) == np.array(seg.mask)).all()
