@@ -23,6 +23,15 @@ math is factored to minimize vector-unit element work:
   x,y,z) so elementwise ops run at 3x the lane occupancy of per-component
   [R, V] tensors.
 
+Row packing (v3, ``MessageConfig.pack``).  At typical hidden widths most
+intermediates are 16-96 lanes wide — under-occupying the 128-lane VPU.
+With ``pack=p`` the kernel processes p consecutive edge slots per register
+row: every logical [R, C] tensor becomes [R/p, p*C] (half-major lanes), all
+GEMMs use block-diagonal weights (still MXU), and elementwise work runs at
+p× the lane occupancy.  The operand reshape [N*K, F] -> [N*K/p, p*F] is a
+contiguous (free) XLA reshape; slot groups never straddle a receiver because
+K % p == 0.  pack=1 reproduces the v2 kernel exactly.
+
 Forward and backward are both Pallas kernels (custom_vjp).  Cotangents for
 geometry inputs (attr, dist², mask) are zero: they are graph constants during
 training.  Weight-gradient accumulation across node tiles relies on the
@@ -60,6 +69,7 @@ class MessageConfig:
     tile: int = 64  # node rows per grid step (fwd)
     bwd_tile: int = 0  # node rows per grid step (bwd); 0 = tile // 2
     u: int = 0  # compact sender-table size (tabled gather path); 0 = off
+    pack: int = 1  # edge slots per register row (lane packing); K % pack == 0
 
     @property
     def f(self) -> int:  # flat hidden dim (cm layout)
@@ -92,89 +102,137 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _rep3(x):
-    """[R, M] -> [R, 3M]: the same block for each vector component."""
-    return jnp.concatenate([x, x, x], axis=-1)
+def _cat(parts):
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
-def _sumgroups(x, m):
-    """[R, 3M] lane-stacked -> [R, M] sum over the 3 component groups."""
-    return x[:, :m] + x[:, m : 2 * m] + x[:, 2 * m :]
+def _rep3(x, p):
+    """[R, p*M] half-major -> [R, p*3M]: each half's block repeated 3x."""
+    m = x.shape[-1] // p
+    return _cat([x[:, h * m : (h + 1) * m] for h in range(p) for _ in range(3)])
 
 
-def _vstack(attr, m):
-    """[R, 3M]: v_c broadcast over M lanes per component group."""
+def _sumgroups(x, m, p):
+    """[R, p*3M] half-major lane-stacked -> [R, p*M] per-half group sums."""
+    outs = []
+    for h in range(p):
+        b = x[:, h * 3 * m : (h + 1) * 3 * m]
+        outs.append(b[:, :m] + b[:, m : 2 * m] + b[:, 2 * m :])
+    return _cat(outs)
+
+
+def _halves(x, p):
+    """[R, p*M] -> list of p [R, M] half slices."""
+    m = x.shape[-1] // p
+    return [x[:, h * m : (h + 1) * m] for h in range(p)]
+
+
+def _bch(cols, m):
+    """[R, p] per-half scalars -> [R, p*m]: column h broadcast over m lanes."""
+    r, p = cols.shape
+    return _cat([jnp.broadcast_to(cols[:, h : h + 1], (r, m)) for h in range(p)])
+
+
+def _vstack(attr, m, p):
+    """[R, 4p] packed sh attrs -> [R, p*3m]: v_c broadcast over m lanes per
+    (half, component) group."""
     r = attr.shape[0]
-    return jnp.concatenate(
-        [jnp.broadcast_to(attr[:, 1 + c : 2 + c], (r, m)) for c in range(3)],
-        axis=-1,
+    return _cat(
+        [
+            jnp.broadcast_to(attr[:, 4 * h + 1 + c : 4 * h + 2 + c], (r, m))
+            for h in range(p)
+            for c in range(3)
+        ]
     )
 
 
-def _layer_fwd(Xs, Xv, s, vV, vH, W0, W1S, BD, hs, hv):
-    """One gated L1 TP layer, stacked-lane form.
+def _layer_fwd(Xs, Xv, scols, vV, vH, W0, W1S, BD, hs, hv, p):
+    """One gated L1 TP layer, stacked-lane half-major form.
 
-    Xs [R, S] scalar channels; Xv [R, 3V] lane-stacked vector components;
-    s [R, 1]; vV [R, 3V], vH [R, 3hv] = sh vector broadcast per group.
-    W0 [S+V, hs+hv]; W1S [S, hv]; BD [3V, 3hv] = blockdiag(W1V x3).
-    Returns m0 [R, hs] f32, m1 [R, 3hv] f32, residuals.
+    Xs [R, p*S] scalar channels; Xv [R, p*3V] lane-stacked vector components
+    (half-major, then x,y,z groups); scols [R, p] sh scalar per half;
+    vV [R, p*3V], vH [R, p*3hv] = sh vector broadcast per group.
+    W0/W1S/BD are already block-diagonalized over the p halves:
+    W0 [p*(S+V), p*(hs+hv)]; W1S [p*S, p*hv]; BD [p*3V, p*3hv].
+    Returns m0 [R, p*hs] f32, m1 [R, p*3hv] f32, residuals.
     """
-    V = Xv.shape[-1] // 3
+    V = Xv.shape[-1] // (3 * p)
+    S = Xs.shape[-1] // p
     P = Xv * vV
-    dot = _sumgroups(P, V)  # [R, V]
-    f0 = jnp.concatenate([Xs * s, CG110 * dot], axis=-1)  # [R, S+V]
-    o0 = _mm(f0, W0)  # [R, hs+hv] f32
-    A = _mm(Xs, W1S)  # [R, hv] f32
-    Xvs = Xv * s  # [R, 3V]
-    B = _mm(Xvs, BD)  # [R, 3hv] f32
-    o1 = CG011 * (vH * _rep3(A) + B)  # [R, 3hv] f32
-    g = jax.nn.sigmoid(o0[:, hs:])
-    m0 = _silu(o0[:, :hs])
-    m1 = o1 * _rep3(g)
+    dot = _sumgroups(P, V, p)  # [R, p*V]
+    Xss = Xs * _bch(scols, S)
+    f0 = _cat(
+        [
+            t
+            for xh, dh in zip(_halves(Xss, p), _halves(dot, p))
+            for t in (xh, CG110 * dh)
+        ]
+    )  # [R, p*(S+V)]
+    o0 = _mm(f0, W0)  # [R, p*(hs+hv)] f32
+    A = _mm(Xs, W1S)  # [R, p*hv] f32
+    Xvs = Xv * _bch(scols, 3 * V)  # [R, p*3V]
+    B = _mm(Xvs, BD)  # [R, p*3hv] f32
+    o1 = CG011 * (vH * _rep3(A, p) + B)  # [R, p*3hv] f32
+    g = jax.nn.sigmoid(_cat([oh[:, hs:] for oh in _halves(o0, p)]))
+    m0 = _silu(_cat([oh[:, :hs] for oh in _halves(o0, p)]))
+    m1 = o1 * _rep3(g, p)
     return m0, m1, (Xs, Xv, f0, Xvs, o0, o1, g)
 
 
-def _layer_bwd(res, d_m0, d_m1, s, vV, vH, W0, W1S, BD, hs, hv, dt):
+def _layer_bwd(res, d_m0, d_m1, scols, vV, vH, W0, W1S, BD, hs, hv, p, dt):
     """VJP of ``_layer_fwd`` wrt inputs and weights (s/v are constants).
 
     Cotangent intermediates are kept in the input dtype ``dt``: exact in the
     fp32 parity/test path; in bf16 production mode this halves live VMEM at
-    bf16-training precision.  Weight-grad GEMMs accumulate fp32.
-    Returns d_Xs [R,S], d_Xv [R,3V], dW0, dW1S, dW1V.
+    bf16-training precision.  Weight-grad GEMMs accumulate fp32 per half and
+    sum over the p halves (the block-diagonal structure means only the
+    diagonal blocks of the full outer product are real gradients).
+    Returns d_Xs [R, p*S], d_Xv [R, p*3V], dW0, dW1S, dW1V (unpacked shapes).
     """
     Xs, Xv, f0, Xvs, o0, o1, g = res
-    S = Xs.shape[-1]
-    V = Xv.shape[-1] // 3
-    d_o1 = (d_m1 * _rep3(g)).astype(dt)
-    d_g = _sumgroups(d_m1 * o1, hv)
-    d_o0 = jnp.concatenate(
-        [d_m0 * _dsilu(o0[:, :hs]), d_g * _dsigmoid(o0[:, hs:])], axis=-1
+    S = Xs.shape[-1] // p
+    V = Xv.shape[-1] // (3 * p)
+    d_o1 = (d_m1 * _rep3(g, p)).astype(dt)
+    d_g = _sumgroups(d_m1 * o1, hv, p)
+    d_o0 = _cat(
+        [
+            t
+            for oh, d0h, dgh in zip(_halves(o0, p), _halves(d_m0, p), _halves(d_g, p))
+            for t in (d0h * _dsilu(oh[:, :hs]), dgh * _dsigmoid(oh[:, hs:]))
+        ]
     ).astype(dt)
     # through step 8: o1 = cg011 * (vH * rep3(A) + B)
-    d_B = CG011 * d_o1  # [R, 3hv]
-    d_A = (CG011 * _sumgroups(d_o1 * vH, hv)).astype(dt)  # [R, hv]
+    d_B = CG011 * d_o1  # [R, p*3hv]
+    d_A = (CG011 * _sumgroups(d_o1 * vH, hv, p)).astype(dt)  # [R, p*hv]
     # step 7: B = Xvs @ BD
-    d_Xvs = _mm(d_B, BD.T).astype(dt)  # [R, 3V]
+    d_Xvs = _mm(d_B, BD.T).astype(dt)  # [R, p*3V]
     dW1V = sum(
         _mm(
             Xvs[:, c * V : (c + 1) * V].T.astype(dt),
             d_B[:, c * hv : (c + 1) * hv],
         )
-        for c in range(3)
+        for c in range(3 * p)
     )  # [V, hv] f32
     # step 6: Xvs = Xv * s
-    d_Xv = d_Xvs * s
+    d_Xv = d_Xvs * _bch(scols, 3 * V)
     # step 5: A = Xs @ W1S
     d_Xs = _mm(d_A, W1S.T)
-    dW1S = _mm(Xs.T.astype(dt), d_A)
+    dW1S = sum(
+        _mm(xh.T.astype(dt), dh)
+        for xh, dh in zip(_halves(Xs, p), _halves(d_A, p))
+    )
     # step 4: o0 = f0 @ W0
     d_f0 = _mm(d_o0, W0.T).astype(dt)
-    dW0 = _mm(f0.T.astype(dt), d_o0)
-    # step 3: f0 = [Xs*s ‖ cg110*dot]
-    d_Xs = (d_Xs + d_f0[:, :S] * s).astype(dt)
-    d_dot = CG110 * d_f0[:, S:]  # [R, V]
+    dW0 = sum(
+        _mm(fh.T.astype(dt), dh)
+        for fh, dh in zip(_halves(f0, p), _halves(d_o0, p))
+    )
+    # step 3: f0 = [Xs*s ‖ cg110*dot] per half
+    f0h = _halves(d_f0, p)
+    d_Xs = (d_Xs + _cat([h[:, :S] for h in f0h]) * _bch(scols, S)).astype(dt)
+    d_dot = CG110 * _cat([h[:, S:] for h in f0h])  # [R, p*V]
     # steps 1-2: dot = sumgroups(Xv * vV)
-    d_Xv = (d_Xv + _rep3(d_dot) * vV).astype(dt)
+    d_Xv = (d_Xv + _rep3(d_dot, p) * vV).astype(dt)
     return d_Xs, d_Xv, dW0, dW1S, dW1V
 
 
@@ -188,27 +246,44 @@ def _expand_matrix(T, K, dtype):
     return (grp == tgt).astype(dtype)
 
 
-def _build_inputs(cfg, hs_t, hr_rep, d2, attr):
-    """Layer-1 stacked inputs from cm-layout features.
+def _build_inputs(cfg, hs_t, hrr, d2, attr, p):
+    """Layer-1 stacked inputs from cm-layout features (half-major packed).
 
-    Xs [R, 2Hs+1] = [hs0e ‖ hr0e ‖ d2]; Xv [R, 3*(2Hv)] groups [hs_c ‖ hr_c]
-    — matching the weight row order of the reference module's path concat
-    (l1_tensor_prod.py:242-297 via ops.tensor_product._extract_*)."""
-    Hs, Hv = cfg.hs, cfg.hv
+    hs_t [R, p*F] packed sender rows; hrr [R, F] receiver rows (shared by all
+    p halves); d2 [R, p]; attr [R, 4p].
+    Xs [R, p*(2Hs+1)] per half = [hs0e ‖ hr0e ‖ d2]; Xv [R, p*3*(2Hv)] groups
+    [hs_c ‖ hr_c] — matching the weight row order of the reference module's
+    path concat (l1_tensor_prod.py:242-297 via ops.tensor_product._extract_*)."""
+    Hs, Hv, F = cfg.hs, cfg.hv, cfg.f
     dt = hs_t.dtype
-    Xs = jnp.concatenate([hs_t[:, :Hs], hr_rep[:, :Hs], d2.astype(dt)], axis=-1)
-    Xv = jnp.concatenate(
+    Xs = _cat(
         [
-            x
-            for c in range(3)
-            for x in (
-                hs_t[:, Hs + c * Hv : Hs + (c + 1) * Hv],
-                hr_rep[:, Hs + c * Hv : Hs + (c + 1) * Hv],
+            t
+            for h in range(p)
+            for t in (
+                hs_t[:, h * F : h * F + Hs],
+                hrr[:, :Hs],
+                d2[:, h : h + 1].astype(dt),
             )
-        ],
-        axis=-1,
+        ]
+    )
+    Xv = _cat(
+        [
+            t
+            for h in range(p)
+            for c in range(3)
+            for t in (
+                hs_t[:, h * F + Hs + c * Hv : h * F + Hs + (c + 1) * Hv],
+                hrr[:, Hs + c * Hv : Hs + (c + 1) * Hv],
+            )
+        ]
     )
     return Xs, Xv
+
+
+def _scols(attr, p):
+    """[R, 4p] -> [R, p]: the sh scalar of each packed half."""
+    return _cat([attr[:, 4 * h : 4 * h + 1] for h in range(p)])
 
 
 def _onehot(loc, u, dt):
@@ -224,32 +299,36 @@ def _onehot(loc, u, dt):
 def _fwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
               w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref, out_ref,
               tile):
-    """Shared forward body given the expanded sender rows ``hs_t`` [R, F]."""
-    K = cfg.k
-    Hs, Hv = cfg.hs, cfg.hv
+    """Shared forward body given the packed sender rows ``hs_t`` [R, p*F]."""
+    K, p = cfg.k, cfg.pack
+    Hs, Hv, F = cfg.hs, cfg.hv, cfg.f
     dt = hs_t.dtype
 
-    E = _expand_matrix(tile, K, dt)
-    hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
+    E = _expand_matrix(tile, K // p, dt)
+    hrr = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
     attr = attr_ref[:]
-    s = attr[:, 0:1]
-    vV = _vstack(attr, cfg.v1)  # [R, 3*2Hv]
-    vH = _vstack(attr, Hv)  # [R, 3*Hv]
+    sc = _scols(attr, p)
+    vV = _vstack(attr, cfg.v1, p)  # [R, p*3*2Hv]
+    vH = _vstack(attr, Hv, p)  # [R, p*3*Hv]
 
-    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2_ref[:], attr)
+    Xs, Xv = _build_inputs(cfg, hs_t, hrr, d2_ref[:], attr, p)
     m0, m1, _ = _layer_fwd(
-        Xs, Xv, s, vV, vH, w01_ref[:], w1s1_ref[:], bd1_ref[:], Hs, Hv
+        Xs, Xv, sc, vV, vH, w01_ref[:], w1s1_ref[:], bd1_ref[:], Hs, Hv, p
     )
     m0 = m0.astype(dt)
     m1 = m1.astype(dt)
     m0b, m1b, _ = _layer_fwd(
-        m0, m1, s, vH, vH, w02_ref[:], w1s2_ref[:], bd2_ref[:], Hs, Hv
+        m0, m1, sc, vH, vH, w02_ref[:], w1s2_ref[:], bd2_ref[:], Hs, Hv, p
     )
-    m = jnp.concatenate([m0b, m1b], axis=-1)  # [R, F] f32 (cm layout)
-    m = m * mask_ref[:]
-    out_ref[:] = jnp.dot(E.T, m.astype(dt), preferred_element_type=jnp.float32).astype(
-        out_ref.dtype
-    )
+    # per-half cm-layout messages, masked, summed over the p halves
+    mk = mask_ref[:]
+    msum = sum(
+        jnp.concatenate([m0h, m1h], axis=-1) * mk[:, h : h + 1]
+        for h, (m0h, m1h) in enumerate(zip(_halves(m0b, p), _halves(m1b, p)))
+    )  # [R, F] f32
+    out_ref[:] = jnp.dot(
+        E.T, msum.astype(dt), preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
 def _fwd_kernel(cfg: MessageConfig, hs_ref, hr_ref, d2_ref, attr_ref, mask_ref,
@@ -273,57 +352,73 @@ def _fwd_kernel_tab(cfg: MessageConfig, hu_ref, hr_ref, loc_ref, d2_ref,
 def _bwd_tail(cfg, hs_t, hr_ref, d2_ref, attr_ref, mask_ref,
               w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref,
               dagg_ref, tile):
-    """Shared backward body: recompute + VJP given expanded ``hs_t`` [R, F].
+    """Shared backward body: recompute + VJP given packed ``hs_t`` [R, p*F].
 
-    Returns (d_hs [R, F], d_hr [T, F] f32, 6 weight-grad tiles f32)."""
-    T, K = tile, cfg.k
-    Hs, Hv = cfg.hs, cfg.hv
+    Returns (d_hs [R, p*F], d_hr [T, F] f32, 6 weight-grad tiles f32)."""
+    T, K, p = tile, cfg.k, cfg.pack
+    Hs, Hv, F = cfg.hs, cfg.hv, cfg.f
+    S1, V1 = cfg.s1, cfg.v1
     dt = hs_t.dtype
 
-    E = _expand_matrix(T, K, dt)
-    hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
+    E = _expand_matrix(T, K // p, dt)
+    hrr = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32).astype(dt)
     attr = attr_ref[:]
-    s = attr[:, 0:1]
-    vV = _vstack(attr, cfg.v1)
-    vH = _vstack(attr, Hv)
-    maskf = mask_ref[:]  # [R, 1]
+    sc = _scols(attr, p)
+    vV = _vstack(attr, cfg.v1, p)
+    vH = _vstack(attr, Hv, p)
+    mk = mask_ref[:]  # [R, p]
     w01, w1s1, bd1 = w01_ref[:], w1s1_ref[:], bd1_ref[:]
     w02, w1s2, bd2 = w02_ref[:], w1s2_ref[:], bd2_ref[:]
 
     # ---- recompute forward ----
-    Xs, Xv = _build_inputs(cfg, hs_t, hr_rep, d2_ref[:], attr)
-    m0, m1, res1 = _layer_fwd(Xs, Xv, s, vV, vH, w01, w1s1, bd1, Hs, Hv)
+    Xs, Xv = _build_inputs(cfg, hs_t, hrr, d2_ref[:], attr, p)
+    m0, m1, res1 = _layer_fwd(Xs, Xv, sc, vV, vH, w01, w1s1, bd1, Hs, Hv, p)
     m0 = m0.astype(dt)
     m1 = m1.astype(dt)
-    _, _, res2 = _layer_fwd(m0, m1, s, vH, vH, w02, w1s2, bd2, Hs, Hv)
+    _, _, res2 = _layer_fwd(m0, m1, sc, vH, vH, w02, w1s2, bd2, Hs, Hv, p)
 
     # ---- backward ----
     d_agg = dagg_ref[:]  # [T, F]
-    d_m = jnp.dot(E, d_agg.astype(dt), preferred_element_type=jnp.float32)
-    d_m = (d_m * maskf).astype(dt)
-    d_m0b, d_m1b = d_m[:, :Hs], d_m[:, Hs:]
+    d_mr = jnp.dot(E, d_agg.astype(dt), preferred_element_type=jnp.float32)
+    # per-half masked cotangents: half h of the packed message row
+    dmh = [(d_mr * mk[:, h : h + 1]).astype(dt) for h in range(p)]
+    d_m0b = _cat([d[:, :Hs] for d in dmh])
+    d_m1b = _cat([d[:, Hs:] for d in dmh])
 
     d_m0, d_m1, dW02, dW1S2, dW1V2 = _layer_bwd(
-        res2, d_m0b, d_m1b, s, vH, vH, w02, w1s2, bd2, Hs, Hv, dt
+        res2, d_m0b, d_m1b, sc, vH, vH, w02, w1s2, bd2, Hs, Hv, p, dt
     )
     d_Xs, d_Xv, dW01, dW1S1, dW1V1 = _layer_bwd(
-        res1, d_m0, d_m1, s, vV, vH, w01, w1s1, bd1, Hs, Hv, dt
+        res1, d_m0, d_m1, sc, vV, vH, w01, w1s1, bd1, Hs, Hv, p, dt
     )
 
     # split layer-1 input cotangents back into sender / receiver features
-    # (Xs = [hs0e ‖ hr0e ‖ d2]; Xv groups = [hs_c ‖ hr_c]); d2 is geometry.
-    V1 = cfg.v1
-    d_hs = jnp.concatenate(
-        [d_Xs[:, :Hs]]
-        + [d_Xv[:, c * V1 : c * V1 + Hv] for c in range(3)],
-        axis=-1,
+    # (per half: Xs = [hs0e ‖ hr0e ‖ d2]; Xv groups = [hs_c ‖ hr_c]);
+    # d2 is geometry.  Receiver cotangents sum over the p halves.
+    d_hs = _cat(
+        [
+            t
+            for h in range(p)
+            for t in (
+                [d_Xs[:, h * S1 : h * S1 + Hs]]
+                + [
+                    d_Xv[:, (h * 3 + c) * V1 : (h * 3 + c) * V1 + Hv]
+                    for c in range(3)
+                ]
+            )
+        ]
     )
-    d_hr_rep = jnp.concatenate(
-        [d_Xs[:, Hs : 2 * Hs]]
-        + [d_Xv[:, c * V1 + Hv : (c + 1) * V1] for c in range(3)],
-        axis=-1,
+    d_hrr = sum(
+        _cat(
+            [d_Xs[:, h * S1 + Hs : h * S1 + 2 * Hs]]
+            + [
+                d_Xv[:, (h * 3 + c) * V1 + Hv : (h * 3 + c + 1) * V1]
+                for c in range(3)
+            ]
+        )
+        for h in range(p)
     )
-    d_hr = jnp.dot(E.T, d_hr_rep.astype(dt), preferred_element_type=jnp.float32)
+    d_hr = jnp.dot(E.T, d_hrr.astype(dt), preferred_element_type=jnp.float32)
     return d_hs, d_hr, (dW01, dW1S1, dW1V1, dW02, dW1S2, dW1V2)
 
 
@@ -388,35 +483,42 @@ def _bwd_kernel_tab(cfg: MessageConfig, sub: int, hu_ref, hr_ref, loc_ref,
 
 
 def _specs(cfg: MessageConfig):
-    T, K, F = cfg.tile, cfg.k, cfg.f
+    T, K, F, p = cfg.tile, cfg.k, cfg.f, cfg.pack
     Hs, Hv = cfg.hs, cfg.hv
     S1, V1 = cfg.s1, cfg.v1
     row = lambda i: (i, 0)
     fix = lambda i: (0, 0)
+    R = T * K // p
     data_specs = [
-        pl.BlockSpec((T * K, F), row, memory_space=pltpu.VMEM),  # hs
+        pl.BlockSpec((R, p * F), row, memory_space=pltpu.VMEM),  # hs (packed)
         pl.BlockSpec((T, F), row, memory_space=pltpu.VMEM),  # hr
-        pl.BlockSpec((T * K, 1), row, memory_space=pltpu.VMEM),  # d2 (flat)
-        pl.BlockSpec((T * K, 4), row, memory_space=pltpu.VMEM),  # attr
-        pl.BlockSpec((T * K, 1), row, memory_space=pltpu.VMEM),  # mask (flat)
+        pl.BlockSpec((R, p), row, memory_space=pltpu.VMEM),  # d2
+        pl.BlockSpec((R, 4 * p), row, memory_space=pltpu.VMEM),  # attr
+        pl.BlockSpec((R, p), row, memory_space=pltpu.VMEM),  # mask
     ]
     w_specs = [
-        pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),  # W0 l1
-        pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),  # W1S l1
-        pl.BlockSpec((3 * V1, 3 * Hv), fix, memory_space=pltpu.VMEM),  # BD l1
-        pl.BlockSpec((Hs + Hv, Hs + Hv), fix, memory_space=pltpu.VMEM),  # W0 l2
-        pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),  # W1S l2
-        pl.BlockSpec((3 * Hv, 3 * Hv), fix, memory_space=pltpu.VMEM),  # BD l2
+        pl.BlockSpec((p * (S1 + V1), p * (Hs + Hv)), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p * S1, p * Hv), fix, memory_space=pltpu.VMEM),  # W1S l1
+        pl.BlockSpec((p * 3 * V1, p * 3 * Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p * (Hs + Hv), p * (Hs + Hv)), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p * Hs, p * Hv), fix, memory_space=pltpu.VMEM),  # W1S l2
+        pl.BlockSpec((p * 3 * Hv, p * 3 * Hv), fix, memory_space=pltpu.VMEM),
     ]
     return data_specs, w_specs
 
 
 def _split_weights(cfg, w0e1, w1o1, w0e2, w1o2):
-    """Reference-layout weights -> kernel form (W0, W1S, blockdiag(W1V))."""
+    """Reference-layout weights -> kernel form (W0, W1S, blockdiag(W1V)),
+    additionally block-diagonalized over the ``pack`` halves."""
+    p = cfg.pack
     eye3 = jnp.eye(3, dtype=w1o1.dtype)
     bd1 = jnp.kron(eye3, w1o1[cfg.s1 :])  # [3V1, 3Hv]
     bd2 = jnp.kron(eye3, w1o2[cfg.hs :])  # [3Hv, 3Hv]
-    return (w0e1, w1o1[: cfg.s1], bd1, w0e2, w1o2[: cfg.hs], bd2)
+    ws = (w0e1, w1o1[: cfg.s1], bd1, w0e2, w1o2[: cfg.hs], bd2)
+    if p == 1:
+        return ws
+    eyep = jnp.eye(p, dtype=w1o1.dtype)
+    return tuple(jnp.kron(eyep, w) for w in ws)
 
 
 # raise the scoped-VMEM cap (default ~16MB) so larger node tiles compile;
@@ -429,10 +531,12 @@ def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
                             w0e1, w1o1, w0e2, w1o2):
     """agg [N, F] = Σ_k mask · MLP(h_s ‖ h_r ‖ d², sh) — fused on-chip.
 
-    hs [N*K, F] gathered sender features (cm layout); hr [N, F]; d2 [N*K, 1];
-    attr [N*K, 4]; maskf [N*K, 1] float; weights with norms pre-folded, in the
-    reference row layout (w0e [S+V, hs+hv], w1o [S+V, hv]).
-    N must be a multiple of cfg.tile (pad outside).
+    With p = cfg.pack: hs [N*K/p, p*F] gathered sender features (cm layout,
+    p consecutive slots per row — the contiguous reshape of [N*K, F]);
+    hr [N, F]; d2 [N*K/p, p]; attr [N*K/p, 4p]; maskf [N*K/p, p] float;
+    weights with norms pre-folded, in the reference row layout
+    (w0e [S+V, hs+hv], w1o [S+V, hv]).
+    N must be a multiple of cfg.tile (pad outside); K % p == 0.
     """
     return _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2)
 
@@ -440,6 +544,8 @@ def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
 def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
     n = hr.shape[0]
     assert n % cfg.tile == 0, (n, cfg.tile)
+    assert cfg.k % cfg.pack == 0, (cfg.k, cfg.pack)
+    assert hs.shape == (n * cfg.k // cfg.pack, cfg.pack * cfg.f), hs.shape
     n_tiles = n // cfg.tile
     data_specs, w_specs = _specs(cfg)
     ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
@@ -469,7 +575,7 @@ def _vjp_bwd(cfg, residuals, d_agg):
     n = hr.shape[0]
     n_tiles = n // cfg.tile
     data_specs, w_specs = _specs(cfg)
-    T, K, F = cfg.tile, cfg.k, cfg.f
+    T, K, F, p = cfg.tile, cfg.k, cfg.f, cfg.pack
     Hs, Hv = cfg.hs, cfg.hv
     S1, V1 = cfg.s1, cfg.v1
     ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
@@ -487,7 +593,7 @@ def _vjp_bwd(cfg, residuals, d_agg):
         jax.ShapeDtypeStruct((Hv, Hv), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((T * K, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T * K // p, p * F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
         pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),
@@ -524,6 +630,8 @@ fused_message_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
 # than the [N*K, F] expansion), row expansion happens on-chip via a one-hot
 # MXU matmul, and sender gradients come back as a dense reverse-table
 # gather-sum — no [N*K, F] per-edge cotangent tensor and no scatter.
+# The tabled kernels run unpacked (cfg.pack == 1): the one-hot expansion
+# already produces [R, F] rows and dominates their cost profile.
 # ---------------------------------------------------------------------------
 
 
@@ -577,6 +685,7 @@ def _take_rows(a, idx):
 def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2):
     n = h.shape[0]
     assert n % cfg.tile == 0, (n, cfg.tile)
+    assert cfg.pack == 1, "tabled kernels run unpacked"
     n_tiles = n // cfg.tile
     assert gtab.shape == (n_tiles, cfg.u), (gtab.shape, n_tiles, cfg.u)
     hu = _take_rows(h, gtab.reshape(-1))  # [ntiles*U, F]
