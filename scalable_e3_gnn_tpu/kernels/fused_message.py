@@ -545,7 +545,14 @@ def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
     n = hr.shape[0]
     assert n % cfg.tile == 0, (n, cfg.tile)
     assert cfg.k % cfg.pack == 0, (cfg.k, cfg.pack)
-    assert hs.shape == (n * cfg.k // cfg.pack, cfg.pack * cfg.f), hs.shape
+    r = n * cfg.k // cfg.pack
+    # all packed-operand shapes checked up front: a caller that sets pack>1
+    # but forgets the [N*K, C] -> [N*K/p, p*C] reshape would otherwise hit an
+    # opaque Pallas BlockSpec/grid error
+    assert hs.shape == (r, cfg.pack * cfg.f), (hs.shape, r, cfg.pack, cfg.f)
+    assert d2.shape == (r, cfg.pack), (d2.shape, r, cfg.pack)
+    assert attr.shape == (r, 4 * cfg.pack), (attr.shape, r, cfg.pack)
+    assert maskf.shape == (r, cfg.pack), (maskf.shape, r, cfg.pack)
     n_tiles = n // cfg.tile
     data_specs, w_specs = _specs(cfg)
     ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)

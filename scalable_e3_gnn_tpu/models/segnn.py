@@ -118,8 +118,13 @@ class SEGNNLayer:
         use_pallas: bool = False,
         edge_chunks: int = 1,
         remat_kernel: bool = False,
+        pack: int = 1,
     ) -> None:
         self.edge_chunks = max(1, edge_chunks)
+        # pack: edge slots per register row in the lmax=1 fused kernel (v3
+        # lane packing, kernels/fused_message.py) — silently ignored when K
+        # is not a multiple of it, so callers can set a preference once
+        self.pack = max(1, pack)
         # remat: rematerialize per-edge message intermediates in the backward
         # pass (jax.checkpoint) — at point-cloud scale the saved [E, F]
         # activations dominate HBM, and recomputing them is cheaper than
@@ -404,7 +409,10 @@ class SEGNNLayer:
                 tile = t
                 break
         npad = -(-n // tile) * tile
-        cfg = MessageConfig(hs=self._pallas_hs, hv=self._pallas_hv, k=k, tile=tile)
+        p = self.pack if k % self.pack == 0 else 1
+        cfg = MessageConfig(
+            hs=self._pallas_hs, hv=self._pallas_hv, k=k, tile=tile, pack=p
+        )
 
         if reverse_slot is not None and h_ext is h_local:
             hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
@@ -427,6 +435,14 @@ class SEGNNLayer:
             maskf = jnp.concatenate([maskf, jnp.zeros((pe, 1), maskf.dtype)])
         else:
             h_local_p = h_local
+        if p > 1:
+            # lane packing: p consecutive edge slots per register row — all
+            # contiguous (free) reshapes of the flat edge-major arrays
+            r = npad * k // p
+            hs = hs.reshape(r, p * f)
+            attr = attr.reshape(r, p * attr.shape[-1])
+            d2 = d2.reshape(r, p)
+            maskf = maskf.reshape(r, p)
 
         w0e1, w1o1, w0e2, w1o2 = self._folded_weights(params, h_local.dtype)
         agg = fused_message_aggregate(
@@ -592,6 +608,7 @@ class SEGNN:
         use_pallas: bool = False,
         edge_chunks: int = 1,
         remat_kernel: bool = False,
+        pack: int = 1,
     ) -> None:
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
@@ -616,7 +633,7 @@ class SEGNN:
             SEGNNLayer(
                 self.hidden_irreps, self.attr_irreps, act=act, remat=remat,
                 layout=layout, use_pallas=use_pallas, edge_chunks=edge_chunks,
-                remat_kernel=remat_kernel,
+                remat_kernel=remat_kernel, pack=pack,
             )
             for _ in range(num_layers)
         ]

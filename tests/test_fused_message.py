@@ -81,6 +81,48 @@ def test_fused_respects_mask():
     np.testing.assert_allclose(pal, ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("pack", [2, 4])
+def test_pack_forward_and_grads_match(pack):
+    """pack>1 (v3 lane packing) must reproduce pack=1 exactly: forward and
+    all gradients, including masked slots and the padded-N tail tile."""
+    kw = dict(num_layers=2, layout="cm", use_pallas=True)
+    m1 = SEGNN(Irreps("2x0e+1x1o"), Irreps("16x0e+8x1o"), Irreps("1x1o"), **kw)
+    mp = SEGNN(
+        Irreps("2x0e+1x1o"), Irreps("16x0e+8x1o"), Irreps("1x1o"), pack=pack, **kw
+    )
+    assert m1.layers[0].use_pallas and mp.layers[0].use_pallas
+    n = 200  # not a multiple of the tile -> exercises the padded reshape
+    g = _graph(n, seed=7)
+    assert g.senders.shape[1] % pack == 0
+    params = m1.init(jax.random.key(4))
+    tgt = jnp.asarray(np.random.default_rng(8).standard_normal((n, 3)), jnp.float32)
+
+    def loss(model):
+        return lambda p: ((model(p, g) - tgt) ** 2).mean()
+
+    with pltpu.force_tpu_interpret_mode():
+        f1 = np.array(m1(params, g))
+        fp = np.array(mp(params, g))
+        g1 = jax.grad(loss(m1))(params)
+        gp = jax.grad(loss(mp))(params)
+    np.testing.assert_allclose(fp, f1, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-6)
+
+
+def test_pack_not_dividing_k_falls_back():
+    """K=8 with pack=3: the dispatch must silently run unpacked."""
+    m = SEGNN(
+        Irreps("2x0e+1x1o"), Irreps("16x0e+8x1o"), Irreps("1x1o"),
+        num_layers=1, layout="cm", use_pallas=True, pack=3,
+    )
+    g = _graph(128, seed=9)
+    params = m.init(jax.random.key(5))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.array(m(params, g))
+    assert np.isfinite(out).all()
+
+
 def test_ineligible_configs_fall_back():
     m = SEGNN(
         Irreps("2x0e+1x1o"), Irreps("8x0e+4x1o+2x1e"), Irreps("1x1o"),
