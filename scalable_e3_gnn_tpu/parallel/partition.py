@@ -18,7 +18,12 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["PartitionedGraph", "partition_graph"]
+__all__ = [
+    "PartitionedGraph",
+    "partition_graph",
+    "DensePartitionedGraph",
+    "partition_graph_dense",
+]
 
 
 class PartitionedGraph(NamedTuple):
@@ -68,7 +73,14 @@ def partition_graph(
     local_edges_per_part: int | None = None,
     remote_edges_per_part: int | None = None,
 ) -> PartitionedGraph:
-    """Split a receiver-sorted graph into P Morton-contiguous partitions."""
+    """Split a receiver-sorted graph into P Morton-contiguous partitions.
+
+    Fully vectorized host path (no per-edge Python loops): a stable sort by
+    receiver-owner groups the edge list into contiguous per-partition runs,
+    halo/export sets come from ``np.unique`` per run, and sender remapping is
+    a ``searchsorted`` into the sorted halo id array — a 160M-edge 10M-point
+    graph partitions in seconds instead of hours.
+    """
     n = positions.shape[0]
     f = features.shape[1]
     npp = -(-n // num_parts)  # nodes per partition (padded)
@@ -78,22 +90,28 @@ def partition_graph(
     receivers = np.asarray(receivers)
     edge_mask = np.asarray(edge_mask, bool)
 
-    # --- per-partition edge lists (owner = receiver's range) ---
-    part_edges = []
-    for p in range(num_parts):
-        sel = edge_mask & (owner(receivers) == p)
-        part_edges.append((senders[sel], receivers[sel]))
-    ep = max(len(s) for s, _ in part_edges)
+    # --- per-partition edge runs (owner = receiver's range) ---
+    # stable sort keeps the original edge order inside each partition
+    ve_s = senders[edge_mask]
+    ve_r = receivers[edge_mask]
+    own_r = owner(ve_r)
+    order = np.argsort(own_r, kind="stable")
+    ve_s, ve_r, own_r = ve_s[order], ve_r[order], own_r[order]
+    own_s = owner(ve_s)
+    counts = np.bincount(own_r, minlength=num_parts)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    run = lambda a, p: a[starts[p] : starts[p + 1]]
+
+    ep = int(counts.max()) if counts.size else 0
     if edges_per_part is not None:
         if edges_per_part < ep:
             raise ValueError(f"edges_per_part={edges_per_part} < max needed {ep}")
         ep = edges_per_part
 
-    # --- halo discovery: remote senders per partition ---
-    halos = []  # list of arrays of global sender ids (sorted unique)
-    for p, (s, _) in enumerate(part_edges):
-        remote = np.unique(s[owner(s) != p])
-        halos.append(remote)
+    # --- halo discovery: remote senders per partition (sorted unique) ---
+    halos = [
+        np.unique(run(ve_s, p)[run(own_s, p) != p]) for p in range(num_parts)
+    ]
     hmax = max((len(h) for h in halos), default=0)
     if halo_cap is None:
         halo_cap = hmax
@@ -102,22 +120,22 @@ def partition_graph(
     H = halo_cap
 
     # --- exports: nodes each partition must contribute to the pool ---
-    # export set of p = union over q != p of (halos[q] owned by p)
-    exports = [[] for _ in range(num_parts)]
-    for q in range(num_parts):
-        for gid in halos[q]:
-            exports[int(owner(gid))].append(int(gid))
-    exports = [sorted(set(e)) for e in exports]
+    # export set of p = union over q of (halos[q] owned by p); halos only
+    # hold off-partition senders, so q == p contributes nothing to itself
+    all_halo = (
+        np.concatenate(halos) if hmax else np.zeros(0, senders.dtype)
+    )
+    halo_own = owner(all_halo)
+    exports = [np.unique(all_halo[halo_own == p]) for p in range(num_parts)]
     emax = max((len(e) for e in exports), default=0)
     if emax > H:
         raise ValueError(f"export count {emax} exceeds halo_cap {H}")
-    # pool position of each exported gid
-    pool_pos = {}
+    # pool position of each exported gid: one vectorized fill per partition
+    pool_pos_of = np.full(n, -1, np.int64)
     boundary_idx = np.zeros((num_parts, H), np.int32)
     for p, exp in enumerate(exports):
-        for j, gid in enumerate(exp):
-            boundary_idx[p, j] = gid - p * npp  # local index on owner
-            pool_pos[gid] = p * H + j
+        boundary_idx[p, : len(exp)] = exp - p * npp  # local index on owner
+        pool_pos_of[exp] = p * H + np.arange(len(exp))
 
     # --- per-partition packed arrays ---
     nodes = np.zeros((num_parts, npp, f), features.dtype)
@@ -130,13 +148,10 @@ def partition_graph(
     gids = np.full((num_parts, npp), -1, np.int32)
 
     # split-edge arrays (padded to per-partition maxima)
-    el = max(
-        (int((owner(s) == p).sum()) for p, (s, _) in enumerate(part_edges)),
-        default=0,
-    )
+    loc_counts = [int((run(own_s, p) == p).sum()) for p in range(num_parts)]
+    el = max(loc_counts, default=0)
     er = max(
-        (int((owner(s) != p).sum()) for p, (s, _) in enumerate(part_edges)),
-        default=0,
+        (int(counts[p]) - loc_counts[p] for p in range(num_parts)), default=0
     )
     if local_edges_per_part is not None:
         if local_edges_per_part < el:
@@ -161,25 +176,25 @@ def partition_graph(
         n_mask[p, :cnt] = True
         gids[p, :cnt] = np.arange(lo, lo + cnt)
 
-        halo_slot = {int(g): j for j, g in enumerate(halos[p])}
-        for j, g in enumerate(halos[p]):
-            pos_ext[p, npp + j] = positions[g]
-            halo_map[p, j] = pool_pos[int(g)]
+        hp = halos[p]
+        pos_ext[p, npp : npp + len(hp)] = positions[hp]
+        halo_map[p, : len(hp)] = pool_pos_of[hp]
 
-        s, r = part_edges[p]
+        s, r = run(ve_s, p), run(ve_r, p)
         k = len(s)
-        so = owner(s)
-        s_local = np.where(
-            so == p,
-            s - lo,
-            npp + np.array([halo_slot.get(int(g), 0) for g in s], np.int32),
-        )
+        so = run(own_s, p)
+        is_loc = so == p
+        # remote senders -> halo slot index: hp is sorted unique, so the slot
+        # is the searchsorted position (values for local senders are computed
+        # then discarded by the where)
+        slot = np.searchsorted(hp, s).astype(np.int64) if len(hp) else np.zeros(k, np.int64)
+        s_local = np.where(is_loc, s - lo, npp + slot)
         s_arr[p, :k] = s_local
         r_arr[p, :k] = r - lo
         e_mask[p, :k] = True
 
-        is_loc = so == p
-        kl, kr = int(is_loc.sum()), int((~is_loc).sum())
+        kl = int(is_loc.sum())
+        kr = k - kl
         sl_arr[p, :kl] = (s - lo)[is_loc]
         rl_arr[p, :kl] = (r - lo)[is_loc]
         ml_arr[p, :kl] = True
