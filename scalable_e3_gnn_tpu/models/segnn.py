@@ -27,7 +27,7 @@ from ..core.spherical import spherical_harmonics
 from ..graph.container import DenseEdgeGraph, SteerableGraph
 from ..ops.gate import Gate
 from ..ops.gather_scatter import (gather, segment_mean, segment_sum,
-                                  take_dense_symmetric)
+                                  take_dense_rev, take_dense_symmetric)
 from ..ops.linear import O3Linear
 from ..ops.tensor_product import L1TensorProduct, TensorProduct
 
@@ -384,11 +384,73 @@ class SEGNNLayer:
         h = h_local + upd_fn(params, h_local, agg)
         return jnp.where(node_mask[:, None], h, 0.0)
 
+    def apply_dense_split(
+        self,
+        params,
+        h_local: jnp.ndarray,  # [NI + NB, F] (interior rows then boundary)
+        h_ext: jnp.ndarray,  # [NI + NB + H, F]: local rows then halo slots
+        int_edges,  # (senders [NI, K] local rows, attr, dist2, mask[, rev])
+        bnd_edges,  # (senders [NB, K] extended space, attr, dist2, mask[, rev])
+        node_attr: jnp.ndarray,  # [NI + NB, A]
+        node_mask: jnp.ndarray,  # [NI + NB]
+    ) -> jnp.ndarray:
+        """Dense-K layer with interior/boundary receiver split (the
+        distributed fast path — see parallel.partition.DensePartitionedGraph).
+
+        The interior aggregation reads only ``h_local``, so it carries no
+        data dependency on the halo exchange that produced ``h_ext`` — XLA's
+        async collective scheduler runs the exchange concurrently with it;
+        the boundary aggregation consumes the halo afterwards.  Both blocks
+        dispatch to the same fused Pallas kernels as the single-chip bench.
+
+        The optional 5th edge-tuple entry is the sender-transpose table
+        (``DensePartitionedGraph.rev_int``/``rev_ext``): with it, the sender
+        gather's gradient is a dense reverse gather (take_dense_rev) instead
+        of the scatter-add XLA otherwise emits (measured 10x step cost at the
+        100k bench config).
+        """
+        ni = int_edges[0].shape[0]
+
+        def msgs(msg_params, h_r, h_src, senders, eattr, d2, mask, rev=None):
+            if h_r.shape[0] == 0:
+                return jnp.zeros((0, h_local.shape[-1]), h_local.dtype)
+            hs = None if rev is None else take_dense_rev(h_src, senders, rev)
+            if self.use_pallas:
+                return self._fused_messages(
+                    msg_params, h_r, h_src, senders, eattr, d2, mask, hs=hs
+                )
+            if self.use_pallas_generic:
+                return self._fused_messages_generic(
+                    msg_params, h_r, h_src, senders, eattr, d2, mask, hs=hs
+                )
+            if hs is None:
+                hs = jnp.take(h_src, senders, axis=0, mode="fill", fill_value=0)
+            hr = jnp.broadcast_to(h_r[:, None, :], hs.shape)
+            m = jnp.concatenate([hs, hr, d2[..., None]], axis=-1)
+            for i, layer in enumerate(self.message_layers):
+                m = layer(msg_params[f"msg_{i}"], m, eattr)
+            m = jnp.where(mask[..., None], m, 0.0)
+            return m.sum(axis=1)
+
+        pallas = self.use_pallas or self.use_pallas_generic
+        if (self.remat and not pallas) or (self.remat_kernel and pallas):
+            msgs = jax.checkpoint(msgs)
+        agg_i = msgs(params, h_local[:ni], h_local, *int_edges)
+        agg_b = msgs(params, h_local[ni:], h_ext, *bnd_edges)
+        agg = jnp.concatenate([agg_i, agg_b], axis=0)
+        u = jnp.concatenate([h_local, agg], axis=-1)
+        for i, layer in enumerate(self.update_layers):
+            u = layer(params[f"upd_{i}"], u, node_attr)
+        return jnp.where(node_mask[:, None], h_local + u, 0.0)
+
     def _fused_messages(
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2, edge_mask,
-        reverse_slot=None, edge_geo=None,
+        reverse_slot=None, edge_geo=None, hs=None,
     ):
         """Dispatch the message MLP + aggregation to the Pallas fused kernel.
+
+        ``hs``: optional pre-gathered sender rows [N, K, F] (the distributed
+        path gathers with take_dense_rev for scatter-free gradients).
 
         The lmax=1 kernel keeps separate geometry operands — measured
         fastest at the 100k config (in-kernel geo expansion and packed
@@ -414,10 +476,11 @@ class SEGNNLayer:
             hs=self._pallas_hs, hv=self._pallas_hv, k=k, tile=tile, pack=p
         )
 
-        if reverse_slot is not None and h_ext is h_local:
-            hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
-        else:
-            hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
+        if hs is None:
+            if reverse_slot is not None and h_ext is h_local:
+                hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
+            else:
+                hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
         hs = hs.reshape(n * k, f)
         attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
         # d2/mask flattened to [N*K, 1] outside the kernel (Mosaic cannot
@@ -523,7 +586,7 @@ class SEGNNLayer:
 
     def _fused_messages_generic(
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2,
-        edge_mask, reverse_slot=None, edge_geo=None,
+        edge_mask, reverse_slot=None, edge_geo=None, hs=None,
     ):
         """Dispatch the message MLP + aggregation to the generic fused kernel."""
         from ..kernels.fused_message_generic import FusedMessageGeneric
@@ -541,10 +604,11 @@ class SEGNNLayer:
             )
         kern = self._generic_kernels[key]
 
-        if reverse_slot is not None and h_ext is h_local:
-            hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
-        else:
-            hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
+        if hs is None:
+            if reverse_slot is not None and h_ext is h_local:
+                hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
+            else:
+                hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
         dt = h_local.dtype
         hs = hs.reshape(n * k, f)
         geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)

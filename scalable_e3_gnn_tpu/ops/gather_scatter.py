@@ -33,6 +33,7 @@ __all__ = [
     "spmm",
     "sddmm",
     "take_dense_symmetric",
+    "take_dense_rev",
 ]
 
 
@@ -167,6 +168,47 @@ def _tds_bwd(res, g):
 
 
 take_dense_symmetric.defvjp(_tds_fwd, _tds_bwd)
+
+
+@jax.custom_vjp
+def take_dense_rev(
+    h: jnp.ndarray,  # [M, F]
+    senders: jnp.ndarray,  # [R, K] rows into h; pad >= M (reads 0)
+    rev: jnp.ndarray,  # [M, Q] flat slots (into R*K) where row m is the sender
+) -> jnp.ndarray:
+    """h[senders] whose VJP is a gather over a precomputed transpose table.
+
+    The general form of ``take_dense_symmetric``: ``rev[m]`` lists the flat
+    edge-slot positions where node m appears as the sender (pad: >= R*K,
+    reads 0), so the sender gradient is a dense [M, Q] gather + sum instead
+    of the scatter-add XLA emits for a gather transpose.  Unlike the
+    symmetric trick it needs no reverse edges in the same slot space — it is
+    what makes the *partitioned* fused path scatter-free, where a receiver's
+    reverse edge may live on another device (parallel/partition.py
+    ``rev_int``/``rev_ext``).
+    """
+    return jnp.take(h, senders, axis=0, mode="fill", fill_value=0)
+
+
+def _tdr_fwd(h, senders, rev):
+    return take_dense_rev(h, senders, rev), (senders, rev)
+
+
+def _tdr_bwd(res, g):
+    senders, rev = res
+    r, k = senders.shape
+    f = g.shape[-1]
+    gf = g.reshape(r * k, f)
+    m, q = rev.shape
+    picked = jnp.take(
+        gf, rev.reshape(-1), axis=0, mode="fill", fill_value=0
+    ).reshape(m, q, f)
+    d_h = picked.sum(axis=1)
+    z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_h, z(senders), z(rev)
+
+
+take_dense_rev.defvjp(_tdr_fwd, _tdr_bwd)
 
 
 def sddmm(

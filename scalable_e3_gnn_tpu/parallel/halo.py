@@ -36,9 +36,17 @@ from ..models.segnn import SEGNN
 from ..ops.gather_scatter import segment_mean
 from ..core.spherical import spherical_harmonics
 from ..train.pipeline import TrainState
-from .partition import PartitionedGraph
+from .partition import DensePartitionedGraph, PartitionedGraph
 
-__all__ = ["exchange_halo", "make_dist_forward", "make_dist_train_step", "shard_partitioned"]
+__all__ = [
+    "exchange_halo",
+    "make_dist_forward",
+    "make_dist_train_step",
+    "shard_partitioned",
+    "make_dist_forward_dense",
+    "make_dist_train_step_dense",
+    "shard_partitioned_dense",
+]
 
 
 def exchange_halo(
@@ -74,13 +82,238 @@ def _edge_geometry(model: SEGNN, pos_ext, npp, senders, receivers, mask):
     return jnp.where(mask[:, None], attr, 0.0), dist2
 
 
-def _local_forward(model: SEGNN, params, shard, axis_name: str, velocities=None):
+def _dense_geometry(model: SEGNN, pos_src, pos_r, senders, mask):
+    """[Nb, K] dense-slot edge geometry: sh attrs + squared distances."""
+    xs = jnp.take(pos_src, jnp.minimum(senders, pos_src.shape[0] - 1), axis=0)
+    rel = jnp.where(mask[..., None], xs - pos_r[:, None, :], 0.0)
+    dist2 = jnp.sum(rel * rel, axis=-1)
+    attr = spherical_harmonics(model.lmax_attr, rel)
+    return jnp.where(mask[..., None], attr, 0.0), dist2
+
+
+def _local_attrs_dense(model: SEGNN, shard):
+    """Per-partition edge/node attributes (geometry-only, graph constants)."""
+    (nodes, pos_ext, node_mask, boundary_idx, halo_map,
+     s_int, m_int, s_bnd, m_bnd, rev_int, rev_ext) = shard
+    npp = nodes.shape[0]
+    ni = s_int.shape[0]
+    pos_local = pos_ext[:npp]
+    attr_i, d2_i = _dense_geometry(model, pos_local, pos_local[:ni], s_int, m_int)
+    attr_b, d2_b = _dense_geometry(model, pos_ext, pos_local[ni:], s_bnd, m_bnd)
+    # node attr = mean of incident edge attrs; the two receiver blocks
+    # partition the rows, so each node's mean comes from exactly one block
+    # (parity with SEGNN.compute_attributes_dense)
+    cnt_i = jnp.maximum(m_int.sum(axis=1), 1)
+    cnt_b = jnp.maximum(m_bnd.sum(axis=1), 1)
+    node_attr = jnp.concatenate(
+        [
+            attr_i.sum(axis=1) / cnt_i[:, None].astype(attr_i.dtype),
+            attr_b.sum(axis=1) / cnt_b[:, None].astype(attr_b.dtype),
+        ],
+        axis=0,
+    )
+    node_attr = node_attr.at[..., 0].set(1.0)
+    return attr_i, d2_i, attr_b, d2_b, node_attr
+
+
+def _local_forward_dense(
+    model: SEGNN, params, shard, axis_name: str, attrs=None,
+    backend: str = "xla", num_devices=None, interpret: bool = False,
+):
+    """Per-device dense-K SEGNN forward on one partition (inside shard_map).
+
+    The distributed fast path: each layer dispatches both receiver blocks to
+    the same fused Pallas message kernels as the single-chip bench
+    (SEGNNLayer.apply_dense_split).  The interior block has no dependency on
+    the boundary collective, so the exchange overlaps with it.  ``attrs``:
+    optional precomputed ``_local_attrs_dense`` output — geometry-only, so
+    computing it once per graph keeps the sh embedding out of the hot loop
+    (matches the single-chip bench protocol).
+    """
+    (nodes, pos_ext, node_mask, boundary_idx, halo_map,
+     s_int, m_int, s_bnd, m_bnd, rev_int, rev_ext) = shard
+    if attrs is None:
+        attrs = _local_attrs_dense(model, shard)
+    attr_i, d2_i, attr_b, d2_b, node_attr = attrs
+
+    h = model.embed(params["embed"], nodes, node_attr)
+    h = jnp.where(node_mask[:, None], h, 0.0)
+    for i, layer in enumerate(model.layers):
+        h_ext = exchange_halo(
+            h, boundary_idx, halo_map, axis_name,
+            backend=backend, num_devices=num_devices, interpret=interpret,
+        )
+        h = layer.apply_dense_split(
+            params[f"layer_{i}"], h, h_ext,
+            (s_int, attr_i, d2_i, m_int, rev_int),
+            (s_bnd, attr_b, d2_b, m_bnd, rev_ext),
+            node_attr, node_mask,
+        )
+    h = model.pre_head(params["pre_head"], h, node_attr)
+    out = model.head(params["head"], h)
+    return jnp.where(node_mask[:, None], out, 0.0)
+
+
+def _shard_args_dense(part: DensePartitionedGraph):
+    return (
+        jnp.asarray(part.nodes),
+        jnp.asarray(part.positions_ext),
+        jnp.asarray(part.node_mask),
+        jnp.asarray(part.boundary_idx),
+        jnp.asarray(part.halo_map),
+        jnp.asarray(part.senders_int),
+        jnp.asarray(part.mask_int),
+        jnp.asarray(part.senders_bnd),
+        jnp.asarray(part.mask_bnd),
+        jnp.asarray(part.rev_int),
+        jnp.asarray(part.rev_ext),
+    )
+
+
+_NUM_SHARD_ARGS_DENSE = 11
+
+
+def shard_partitioned_dense(
+    part: DensePartitionedGraph, mesh: Mesh, axis: str = "graph"
+):
+    """Device-put the stacked dense-partition arrays over the mesh axis."""
+    args = _shard_args_dense(part)
+    put = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    )
+    return tuple(put(x) for x in args)
+
+
+def make_dist_geometry_dense(
+    model: SEGNN, mesh: Mesh, axis: str = "graph"
+) -> Callable:
+    """jitted sharded attribute precompute: (shards) -> attrs pytree.
+
+    Attributes are geometry-only; compute them once per graph and pass the
+    result as ``attrs`` to the dense forward/train step to keep the sh
+    embedding out of the training hot loop.
+    """
+    spec_data = P(axis)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=((spec_data,) * _NUM_SHARD_ARGS_DENSE,),
+        out_specs=spec_data,
+        check_vma=False,
+    )
+    def geo(shard):
+        shard = tuple(x[0] for x in shard)
+        return tuple(a[None] for a in _local_attrs_dense(model, shard))
+
+    return jax.jit(geo)
+
+
+def make_dist_forward_dense(
+    model: SEGNN, mesh: Mesh, axis: str = "graph", backend: str = "xla",
+    interpret: bool = False,
+) -> Callable:
+    """jitted distributed dense-K forward: (params, shards, attrs=None) ->
+    [P, Np, F_out]."""
+    spec_data = P(axis)
+    nd = mesh.shape[axis]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), (spec_data,) * _NUM_SHARD_ARGS_DENSE, spec_data),
+        out_specs=spec_data,
+        check_vma=False,
+    )
+    def fwd(params, shard, attrs):
+        shard = tuple(x[0] for x in shard)
+        attrs = jax.tree.map(lambda x: x[0], attrs)
+        out = _local_forward_dense(
+            model, params, shard, axis, attrs=attrs or None,
+            backend=backend, num_devices=nd, interpret=interpret,
+        )
+        return out[None]
+
+    jfwd = jax.jit(fwd)
+    return lambda params, shard, attrs=None: jfwd(params, shard, attrs or ())
+
+
+def make_dist_train_step_dense(
+    model: SEGNN,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "graph",
+    dp_axis: Optional[str] = None,
+    backend: str = "xla",
+    interpret: bool = False,
+    compute_dtype=None,
+) -> Callable:
+    """Distributed dense-K train step (fused-kernel path, psum'd grads).
+
+    ``targets``: [P, Np, F_out] in partition-local row order
+    (``target[part.global_ids]`` with pad rows anything — they are masked).
+    ``compute_dtype``: cast params to this dtype inside the loss (bf16
+    storage/compute with fp32 master params — the bench protocol); grads and
+    the optimizer update stay in the master dtype.
+    """
+    lead = (dp_axis, axis) if dp_axis else (axis,)
+    spec_data = P(*lead)
+    nd = mesh.shape[axis]
+
+    def local_loss(params, shard, target, attrs, denom):
+        if compute_dtype is not None:
+            params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+        out = _local_forward_dense(
+            model, params, shard, axis, attrs=attrs,
+            backend=backend, num_devices=nd, interpret=interpret,
+        )
+        node_mask = shard[2]
+        err = jnp.where(node_mask[:, None], (out - target) ** 2, 0.0)
+        return err.sum() / denom
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), (spec_data,) * _NUM_SHARD_ARGS_DENSE, spec_data, spec_data),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(state, shard, target, attrs):
+        strip = (lambda x: x[0][0]) if dp_axis else (lambda x: x[0])
+        shard = tuple(strip(x) for x in shard)
+        target = strip(target)
+        attrs = jax.tree.map(strip, attrs)
+        node_mask = shard[2]
+        denom = jax.lax.psum(node_mask.sum(), lead) * target.shape[-1]
+        loss, grads = jax.value_and_grad(local_loss)(
+            state.params, shard, target, attrs or None,
+            jnp.maximum(denom, 1).astype(target.dtype),
+        )
+        loss = jax.lax.psum(loss, lead)
+        grads = jax.lax.psum(grads, lead)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    return lambda state, shard, target, attrs=None: jstep(
+        state, shard, target, attrs or ()
+    )
+
+
+def _local_forward(
+    model: SEGNN, params, shard, axis_name: str, velocities=None,
+    backend: str = "xla", num_devices=None, interpret: bool = False,
+):
     """Per-device SEGNN forward on one partition (runs inside shard_map).
 
     Exchange/compute overlap (SURVEY.md §3.4): per layer, the local-edge
     aggregation has no data dependency on the boundary collective, so XLA's
     async collective scheduler runs the all_gather concurrently with it; the
-    remote-edge aggregation consumes the halo afterwards.
+    remote-edge aggregation consumes the halo afterwards.  ``backend="rdma"``
+    swaps the all_gather for the Pallas async-remote-copy ring kernel
+    (kernels/halo_rdma.py) for explicit overlap control.
     """
     (nodes, pos_ext, node_mask, boundary_idx, halo_map,
      s_loc, r_loc, m_loc, s_rem, r_rem, m_rem) = shard
@@ -106,7 +339,10 @@ def _local_forward(model: SEGNN, params, shard, axis_name: str, velocities=None)
     h = model.embed(params["embed"], nodes, node_attr)
     h = jnp.where(node_mask[:, None], h, 0.0)
     for i, layer in enumerate(model.layers):
-        h_ext = exchange_halo(h, boundary_idx, halo_map, axis_name)
+        h_ext = exchange_halo(
+            h, boundary_idx, halo_map, axis_name,
+            backend=backend, num_devices=num_devices, interpret=interpret,
+        )
         h = layer.apply_split(
             params[f"layer_{i}"], h, h_ext,
             (s_loc, r_loc, m_loc, attr_loc, d2_loc),
@@ -146,9 +382,13 @@ def shard_partitioned(part: PartitionedGraph, mesh: Mesh, axis: str = "graph"):
     return tuple(put(x) for x in args)
 
 
-def make_dist_forward(model: SEGNN, mesh: Mesh, axis: str = "graph") -> Callable:
+def make_dist_forward(
+    model: SEGNN, mesh: Mesh, axis: str = "graph", backend: str = "xla",
+    interpret: bool = False,
+) -> Callable:
     """jitted distributed forward: (params, *shard_args) -> [P, Np, F_out]."""
     spec_data = P(axis)  # leading partition axis sharded; inside: squeezed block
+    nd = mesh.shape[axis]
 
     @functools.partial(
         jax.shard_map,
@@ -159,7 +399,10 @@ def make_dist_forward(model: SEGNN, mesh: Mesh, axis: str = "graph") -> Callable
     )
     def fwd(params, shard):
         shard = tuple(x[0] for x in shard)  # strip the partition axis block dim
-        out = _local_forward(model, params, shard, axis)
+        out = _local_forward(
+            model, params, shard, axis,
+            backend=backend, num_devices=nd, interpret=interpret,
+        )
         return out[None]
 
     return jax.jit(fwd)
@@ -171,6 +414,8 @@ def make_dist_train_step(
     mesh: Mesh,
     axis: str = "graph",
     dp_axis: Optional[str] = None,
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> Callable:
     """jitted distributed train step with replicated params + psum'd grads.
 
@@ -182,13 +427,17 @@ def make_dist_train_step(
     """
     lead = (dp_axis, axis) if dp_axis else (axis,)
     spec_data = P(*lead)
+    nd = mesh.shape[axis]
 
     def local_loss(params, shard, target, denom):
         # purely local computation: no collectives inside the differentiated
         # function except the halo all_gather (whose transpose correctly
         # scatter-accumulates halo cotangents back to owner devices); the
         # global normalizer enters as a constant
-        out = _local_forward(model, params, shard, axis)
+        out = _local_forward(
+            model, params, shard, axis,
+            backend=backend, num_devices=nd, interpret=interpret,
+        )
         node_mask = shard[2]
         err = jnp.where(node_mask[:, None], (out - target) ** 2, 0.0)
         return err.sum() / denom

@@ -61,6 +61,225 @@ class PartitionedGraph(NamedTuple):
     mask_rem: np.ndarray  # [P, Er]
 
 
+class DensePartitionedGraph(NamedTuple):
+    """Fixed-degree (dense-K) partition arrays, stacked on axis 0.
+
+    The TPU-fast distributed layout: each partition keeps [Np, K] neighbor
+    slots, so the per-device layer runs the same fused Pallas message kernels
+    as the single-chip bench (models/segnn.py apply_dense) — no COO
+    segment-sum on the hot path.
+
+    Within each partition, local rows are permuted so that *interior*
+    receivers (all K senders local) occupy rows [0, NI) and *boundary*
+    receivers (>=1 remote sender) occupy rows [NI, NI+NB): the interior
+    aggregation has no data dependency on the halo exchange, so it overlaps
+    with the boundary-feature collective (SURVEY.md §7 hard part 2).
+
+    Index spaces (per partition):
+      - local row: 0..NI+NB-1; padding rows have node_mask False;
+      - extended: 0..NI+NB+H-1 — local rows then halo slots (boundary-block
+        senders); pad slot = NI+NB+H (reads 0 via fill-mode gather);
+      - interior-block senders are local rows; pad slot = NI+NB;
+      - pool: 0..P*H-1 — position in the all-gathered boundary pool.
+    ``global_ids`` maps local rows back to the input node order (pad -1);
+    targets for a partitioned train step are ``target[global_ids]`` with
+    pad rows masked.
+    """
+
+    num_parts: int
+    n_interior: int  # NI
+    n_boundary: int  # NB
+    halo_cap: int
+    k: int
+    nodes: np.ndarray  # [P, NI+NB, F]
+    positions_ext: np.ndarray  # [P, NI+NB+H, 3]
+    node_mask: np.ndarray  # [P, NI+NB]
+    senders_int: np.ndarray  # [P, NI, K] local rows; pad = NI+NB
+    mask_int: np.ndarray  # [P, NI, K]
+    senders_bnd: np.ndarray  # [P, NB, K] extended; pad = NI+NB+H
+    mask_bnd: np.ndarray  # [P, NB, K]
+    boundary_idx: np.ndarray  # [P, H] local row of exported nodes; pad 0
+    halo_map: np.ndarray  # [P, H] pool idx per halo slot; pad 0
+    global_ids: np.ndarray  # [P, NI+NB] input-order node id; pad -1
+    # sender-transpose tables (scatter-free gradients, ops.take_dense_rev):
+    # flat slot positions where each row appears as a sender
+    rev_int: np.ndarray  # [P, NI+NB, Qi] into interior slots; pad NI*K
+    rev_ext: np.ndarray  # [P, NI+NB+H, Qb] into boundary slots; pad NB*K
+
+    @property
+    def n_per_part(self) -> int:
+        return self.n_interior + self.n_boundary
+
+
+def partition_graph_dense(
+    positions: np.ndarray,  # [N, 3] Morton-sorted
+    features: np.ndarray,  # [N, F]
+    senders: np.ndarray,  # [N, K] global ids
+    edge_mask: np.ndarray,  # [N, K]
+    num_parts: int,
+    halo_cap: int | None = None,
+    interior_cap: int | None = None,
+    boundary_cap: int | None = None,
+) -> DensePartitionedGraph:
+    """Split a dense-K graph into P Morton-contiguous partitions (vectorized).
+
+    Ownership is by receiver row range (owner-computes aggregation, matching
+    ``partition_graph``); remote senders become halo slots filled by the
+    per-layer boundary exchange (parallel/halo.py).
+    """
+    n, k = senders.shape
+    f = features.shape[1]
+    npp0 = -(-n // num_parts)  # input rows per partition range
+    owner = lambda v: np.minimum(v // npp0, num_parts - 1)
+
+    positions = np.asarray(positions)
+    features = np.asarray(features)
+    senders = np.asarray(senders)
+    edge_mask = np.asarray(edge_mask, bool)
+
+    halos, int_rows, bnd_rows = [], [], []
+    for p in range(num_parts):
+        lo, hi = p * npp0, min(n, (p + 1) * npp0)
+        sd, mk = senders[lo:hi], edge_mask[lo:hi]
+        # gate by the mask BEFORE computing owners: padding slots may carry
+        # out-of-range sender values
+        remote = mk & (owner(np.where(mk, sd, 0)) != p)
+        halos.append(np.unique(sd[remote]))
+        isb = remote.any(axis=1)
+        int_rows.append(np.nonzero(~isb)[0] + lo)
+        bnd_rows.append(np.nonzero(isb)[0] + lo)
+
+    ni_need = max((len(r) for r in int_rows), default=0)
+    nb_need = max((len(r) for r in bnd_rows), default=0)
+    NI = interior_cap if interior_cap is not None else max(ni_need, 1)
+    NB = boundary_cap if boundary_cap is not None else max(nb_need, 1)
+    if NI < ni_need or NB < nb_need:
+        raise ValueError(
+            f"caps ({NI},{NB}) < needed ({ni_need},{nb_need})"
+        )
+    hmax = max((len(h) for h in halos), default=0)
+    H = halo_cap if halo_cap is not None else max(hmax, 1)
+    if H < hmax:
+        raise ValueError(f"halo_cap={H} < max needed {hmax}")
+    npp = NI + NB
+
+    # exports + pool positions (same construction as partition_graph)
+    all_halo = np.concatenate(halos) if hmax else np.zeros(0, senders.dtype)
+    halo_own = owner(all_halo)
+    exports = [np.unique(all_halo[halo_own == p]) for p in range(num_parts)]
+    emax = max((len(e) for e in exports), default=0)
+    if emax > H:
+        raise ValueError(f"export count {emax} exceeds halo_cap {H}")
+    pool_pos_of = np.full(n, -1, np.int64)
+    for p, exp in enumerate(exports):
+        pool_pos_of[exp] = p * H + np.arange(len(exp))
+
+    nodes = np.zeros((num_parts, npp, f), features.dtype)
+    pos_ext = np.zeros((num_parts, npp + H, 3), positions.dtype)
+    n_mask = np.zeros((num_parts, npp), bool)
+    s_int = np.full((num_parts, NI, k), npp, np.int32)
+    m_int = np.zeros((num_parts, NI, k), bool)
+    s_bnd = np.full((num_parts, NB, k), npp + H, np.int32)
+    m_bnd = np.zeros((num_parts, NB, k), bool)
+    boundary_idx = np.zeros((num_parts, H), np.int32)
+    halo_map = np.zeros((num_parts, H), np.int32)
+    gids = np.full((num_parts, npp), -1, np.int32)
+
+    for p in range(num_parts):
+        lo = p * npp0
+        gi, gb, hp = int_rows[p], bnd_rows[p], halos[p]
+        cnt_i, cnt_b = len(gi), len(gb)
+        # new local order: interior rows first, boundary rows after NI
+        loc_of = np.full(npp0, npp, np.int64)  # index by (g - lo)
+        loc_of[gi - lo] = np.arange(cnt_i)
+        loc_of[gb - lo] = NI + np.arange(cnt_b)
+
+        nodes[p, :cnt_i] = features[gi]
+        nodes[p, NI : NI + cnt_b] = features[gb]
+        pos_ext[p, :cnt_i] = positions[gi]
+        pos_ext[p, NI : NI + cnt_b] = positions[gb]
+        pos_ext[p, npp : npp + len(hp)] = positions[hp]
+        n_mask[p, :cnt_i] = True
+        n_mask[p, NI : NI + cnt_b] = True
+        gids[p, :cnt_i] = gi
+        gids[p, NI : NI + cnt_b] = gb
+
+        halo_map[p, : len(hp)] = pool_pos_of[hp]
+        exp = exports[p]
+        boundary_idx[p, : len(exp)] = loc_of[exp - lo]
+
+        def remap(rows, pad_idx, allow_remote):
+            sd, mk = senders[rows], edge_mask[rows]
+            local = owner(np.where(mk, sd, lo)) == p
+            s_loc = loc_of[np.clip(sd - lo, 0, npp0 - 1)]
+            if allow_remote:
+                slot = (
+                    np.searchsorted(hp, sd)
+                    if len(hp)
+                    else np.zeros_like(sd, np.int64)
+                )
+                s_new = np.where(local, s_loc, npp + slot)
+            else:
+                s_new = s_loc
+            return np.where(mk, s_new, pad_idx).astype(np.int32), mk
+
+        if cnt_i:
+            s_int[p, :cnt_i], m_int[p, :cnt_i] = remap(gi, npp, False)
+        if cnt_b:
+            s_bnd[p, :cnt_b], m_bnd[p, :cnt_b] = remap(gb, npp + H, True)
+
+    # sender-transpose tables for scatter-free gradients: rev[m] lists the
+    # flat block-slot positions where row m is the sender (take_dense_rev)
+    def rev_lists(s_blk, m_blk, n_targets):
+        out = []
+        for p in range(num_parts):
+            pos = np.nonzero(m_blk[p].ravel())[0]
+            tgt = s_blk[p].ravel()[pos]
+            order = np.argsort(tgt, kind="stable")
+            tgt, pos = tgt[order], pos[order]
+            starts = np.searchsorted(tgt, np.arange(n_targets))
+            ends = np.searchsorted(tgt, np.arange(n_targets) + 1)
+            out.append((pos, starts, ends))
+        return out
+
+    def rev_fill(lists, n_targets, sentinel):
+        q = max(
+            (int((e - s).max()) if len(e) else 0 for _, s, e in lists),
+            default=0,
+        )
+        q = max(q, 1)
+        rev = np.full((num_parts, n_targets, q), sentinel, np.int32)
+        for p, (pos, starts, ends) in enumerate(lists):
+            cnt = ends - starts
+            rows = np.repeat(np.arange(n_targets), cnt)
+            within = np.arange(len(pos)) - np.repeat(starts, cnt)
+            rev[p, rows, within] = pos.astype(np.int32)
+        return rev
+
+    rev_int = rev_fill(rev_lists(s_int, m_int, npp), npp, NI * k)
+    rev_ext = rev_fill(rev_lists(s_bnd, m_bnd, npp + H), npp + H, NB * k)
+
+    return DensePartitionedGraph(
+        rev_int=rev_int,
+        rev_ext=rev_ext,
+        num_parts=num_parts,
+        n_interior=NI,
+        n_boundary=NB,
+        halo_cap=H,
+        k=k,
+        nodes=nodes,
+        positions_ext=pos_ext,
+        node_mask=n_mask,
+        senders_int=s_int,
+        mask_int=m_int,
+        senders_bnd=s_bnd,
+        mask_bnd=m_bnd,
+        boundary_idx=boundary_idx,
+        halo_map=halo_map,
+        global_ids=gids,
+    )
+
+
 def partition_graph(
     positions: np.ndarray,  # [N, 3] Morton-sorted
     features: np.ndarray,  # [N, F]

@@ -1,0 +1,219 @@
+"""Dense-K distributed path: partition invariance with the fused Pallas
+kernels ENGAGED (interpret mode), gradient parity, and the RDMA backend.
+
+This is the distributed fast path (VERDICT r1 item 1): per-device layers run
+``SEGNNLayer.apply_dense_split`` — the same fused message kernels as the
+single-chip bench — over interior/boundary receiver blocks, with the halo
+exchange overlapping the interior aggregation.
+"""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh
+
+from scalable_e3_gnn_tpu.core.irreps import Irreps
+from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
+from scalable_e3_gnn_tpu.graph.octree import build_octree
+from scalable_e3_gnn_tpu.graph.radius import radius_graph_brute
+from scalable_e3_gnn_tpu.models.segnn import SEGNN
+from scalable_e3_gnn_tpu.parallel.halo import (
+    make_dist_forward_dense,
+    make_dist_train_step_dense,
+    shard_partitioned_dense,
+)
+from scalable_e3_gnn_tpu.parallel.partition import partition_graph_dense
+from scalable_e3_gnn_tpu.train.pipeline import make_train_state, mse_loss
+
+LO, HI = (-4.0,) * 3, (4.0,) * 3
+
+
+def _problem(n=512, seed=0, radius=0.7, k=16):
+    rng = np.random.default_rng(seed)
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tree = build_octree(jnp.asarray(pts), LO, HI, num_levels=4)
+    e = radius_graph_brute(tree.points, radius, max_neighbors=k)
+    feats = rng.standard_normal((n, 5)).astype(np.float32)
+    g = DenseEdgeGraph.from_radius_edges(jnp.asarray(feats), tree.points, e)
+    tgt = rng.standard_normal((n, 3)).astype(np.float32)
+    return g, tgt
+
+
+def _model(use_pallas, num_layers=2, hidden="16x0e+8x1o", lmax_attr=1):
+    return SEGNN(
+        Irreps("2x0e+1x1o"), Irreps(hidden), Irreps("1x1o"),
+        num_layers=num_layers, layout="cm", use_pallas=use_pallas,
+        lmax_attr=lmax_attr,
+    )
+
+
+def _partition(g, num_parts, **kw):
+    return partition_graph_dense(
+        np.array(g.positions), np.array(g.nodes), np.array(g.senders),
+        np.array(g.edge_mask), num_parts=num_parts, **kw
+    )
+
+
+def _unpermute(out, part):
+    """[P, Np, F] partition-local rows -> [N, F] input order."""
+    gids = np.asarray(part.global_ids).ravel()
+    flat = np.asarray(out).reshape(-1, out.shape[-1])
+    n = int(gids.max()) + 1
+    res = np.zeros((n, out.shape[-1]), flat.dtype)
+    res[gids[gids >= 0]] = flat[gids >= 0]
+    return res
+
+
+def test_dense_partition_structures():
+    g, _ = _problem(n=200)
+    part = _partition(g, 4)
+    # every valid edge appears exactly once across blocks
+    total = int(part.mask_int.sum()) + int(part.mask_bnd.sum())
+    assert total == int(np.array(g.edge_mask).sum())
+    # interior rows have no remote senders (all senders < NI+NB)
+    npp = part.n_per_part
+    assert (part.senders_int[part.mask_int] < npp).all()
+    # every real row appears exactly once in global_ids
+    gids = part.global_ids[part.global_ids >= 0]
+    assert sorted(gids.tolist()) == list(range(200))
+    # halo positions match owners' positions
+    pts = np.array(g.positions)
+    H = part.halo_cap
+    for p in range(4):
+        for j in range(H):
+            if (part.positions_ext[p, npp + j] == 0).all():
+                continue
+            pool = part.halo_map[p, j]
+            q, slot = pool // H, pool % H
+            gid = part.global_ids[q, part.boundary_idx[q, slot]]
+            np.testing.assert_allclose(part.positions_ext[p, npp + j], pts[gid])
+
+
+@pytest.mark.parametrize("num_parts", [2, 4, 8])
+def test_dense_partition_invariance_forward(num_parts):
+    if len(jax.devices()) < num_parts:
+        pytest.skip("not enough devices")
+    g, _ = _problem()
+    model = _model(use_pallas=False)
+    params = model.init(jax.random.key(0))
+    ref = np.array(model(params, g))
+
+    part = _partition(g, num_parts)
+    mesh = Mesh(np.array(jax.devices()[:num_parts]).reshape(num_parts), ("graph",))
+    fwd = make_dist_forward_dense(model, mesh)
+    out = fwd(params, shard_partitioned_dense(part, mesh))
+    np.testing.assert_allclose(_unpermute(out, part), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("hidden,lmax_attr", [("16x0e+8x1o", 1), ("8x0e+4x1o+2x2e", 2)])
+def test_dense_partition_invariance_fused_kernels(hidden, lmax_attr):
+    """The distributed path with the fused Pallas kernels ENGAGED must match
+    the single-device jnp reference (4-way partition, interpret mode).
+    lmax=1 engages the specialized kernel; lmax=2 the generic one."""
+    g, _ = _problem(n=256)
+    m_ref = _model(use_pallas=False, hidden=hidden, lmax_attr=lmax_attr)
+    m_pal = _model(use_pallas=True, hidden=hidden, lmax_attr=lmax_attr)
+    if lmax_attr == 1:
+        assert m_pal.layers[0].use_pallas
+    else:
+        assert m_pal.layers[0].use_pallas_generic
+    params = m_ref.init(jax.random.key(1))
+    ref = np.array(m_ref(params, g))
+
+    part = _partition(g, 4)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("graph",))
+    fwd = make_dist_forward_dense(m_pal, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        out = fwd(params, shard_partitioned_dense(part, mesh))
+    np.testing.assert_allclose(_unpermute(out, part), ref, atol=2e-5)
+
+
+def test_dense_gradient_parity_through_halo():
+    g, tgt = _problem()
+    model = _model(use_pallas=False)
+    params = model.init(jax.random.key(2))
+    gs = jax.grad(lambda p: mse_loss(model(p, g), jnp.asarray(tgt)))(params)
+
+    part = _partition(g, 8)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("graph",))
+    args = shard_partitioned_dense(part, mesh)
+    # targets in partition-local row order
+    tgt_sh = jnp.asarray(tgt[np.clip(part.global_ids, 0, None)])
+    st = make_train_state(jax.tree.map(jnp.copy, params), optax.sgd(1.0))
+    step = make_dist_train_step_dense(model, optax.sgd(1.0), mesh)
+    st2, m = step(st, args, tgt_sh)
+    gd = jax.tree.map(lambda a, b: a - b, params, st2.params)
+    md = max(
+        jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), gs, gd))
+    )
+    assert md < 5e-5, md
+    np.testing.assert_allclose(
+        float(m["loss"]),
+        float(mse_loss(model(params, g), jnp.asarray(tgt))),
+        rtol=1e-6,
+    )
+
+
+def test_dense_fused_gradient_parity():
+    """Train-step gradients with the fused kernel engaged (interpret mode)."""
+    g, tgt = _problem(n=256)
+    m_ref = _model(use_pallas=False)
+    m_pal = _model(use_pallas=True)
+    params = m_ref.init(jax.random.key(3))
+    gs = jax.grad(lambda p: mse_loss(m_ref(p, g), jnp.asarray(tgt)))(params)
+
+    part = _partition(g, 4)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("graph",))
+    args = shard_partitioned_dense(part, mesh)
+    tgt_sh = jnp.asarray(tgt[np.clip(part.global_ids, 0, None)])
+    st = make_train_state(jax.tree.map(jnp.copy, params), optax.sgd(1.0))
+    step = make_dist_train_step_dense(m_pal, optax.sgd(1.0), mesh)
+    with pltpu.force_tpu_interpret_mode():
+        st2, _ = step(st, args, tgt_sh)
+    gd = jax.tree.map(lambda a, b: a - b, params, st2.params)
+    md = max(
+        jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), gs, gd))
+    )
+    assert md < 5e-5, md
+
+
+def test_dense_precomputed_attrs_match():
+    """Precomputed sharded geometry must give identical forward + train step."""
+    from scalable_e3_gnn_tpu.parallel.halo import make_dist_geometry_dense
+
+    g, tgt = _problem(n=256)
+    model = _model(use_pallas=False)
+    params = model.init(jax.random.key(5))
+    part = _partition(g, 4)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("graph",))
+    args = shard_partitioned_dense(part, mesh)
+    attrs = make_dist_geometry_dense(model, mesh)(args)
+    fwd = make_dist_forward_dense(model, mesh)
+    np.testing.assert_allclose(
+        np.asarray(fwd(params, args, attrs)), np.asarray(fwd(params, args)),
+        atol=1e-6,
+    )
+    tgt_sh = jnp.asarray(tgt[np.clip(part.global_ids, 0, None)])
+    step = make_dist_train_step_dense(model, optax.sgd(1.0), mesh)
+    st = make_train_state(jax.tree.map(jnp.copy, params), optax.sgd(1.0))
+    _, m1 = step(st, args, tgt_sh, attrs)
+    st = make_train_state(jax.tree.map(jnp.copy, params), optax.sgd(1.0))
+    _, m2 = step(st, args, tgt_sh)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_dense_rdma_backend_forward():
+    """backend='rdma' (Pallas ring all-gather) must match the XLA backend."""
+    g, _ = _problem(n=256)
+    model = _model(use_pallas=False)
+    params = model.init(jax.random.key(4))
+    ref = np.array(model(params, g))
+    part = _partition(g, 4)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("graph",))
+    fwd = make_dist_forward_dense(model, mesh, backend="rdma", interpret=True)
+    out = fwd(params, shard_partitioned_dense(part, mesh))
+    np.testing.assert_allclose(_unpermute(out, part), ref, atol=2e-5)
