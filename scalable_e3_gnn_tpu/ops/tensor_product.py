@@ -403,6 +403,11 @@ class TensorProduct:
         # in2 where outer(in1, in2) would blow up)
         if mode not in ("auto", "sparse", "gemm"):
             raise ValueError(f"unknown mode {mode!r}")
+        if mode == "gemm" and layout_in1 != "cm":
+            # the fold plan (_build_gemm_plan) indexes in1 by flat cm
+            # position; forcing gemm with mul-layout in1 silently computes
+            # garbage (caught by tests/test_cg_oracle.py)
+            raise ValueError("mode='gemm' requires layout_in1='cm'")
         self.mode = mode
         if layout_in1 not in ("mul", "cm") or layout_out not in ("mul", "cm"):
             raise ValueError("layouts must be 'mul' or 'cm'")
