@@ -99,6 +99,31 @@ def main():
     jax.block_until_ready(state.params)
     print(f"final loss {float(m['loss']):.6f} (baseline {baseline:.6f})")
 
+    # held-out eval: fresh trajectories, displacement error (the downstream
+    # prediction-accuracy metric, not just training loss)
+    ds_e = generate_dataset(max(args.graphs // 5, 16), num_steps=500,
+                            seed=cfg.train.seed + 1)
+    feats_e = np.concatenate(
+        [
+            (ds_e["vel0"] ** 2).sum(-1, keepdims=True),
+            ds_e["charges"][..., None],
+            ds_e["vel0"],
+        ],
+        -1,
+    )
+    graph_e = batch_same_size(feats_e, ds_e["pos0"], s, r)
+    vel_e = jnp.asarray(ds_e["vel0"].reshape(-1, 3))
+    target_e = jnp.asarray(ds_e["disp"].reshape(-1, 3))
+    pred = jax.jit(lambda p: model(p, graph_e, vel_e))(state.params)
+    err = pred - target_e
+    eval_mse = float(jnp.mean(err**2))
+    disp_rmse = float(jnp.sqrt(jnp.mean(jnp.sum(err**2, -1))))
+    base_rmse = float(jnp.sqrt(jnp.mean(jnp.sum(target_e**2, -1))))
+    print(
+        f"eval (held-out): mse {eval_mse:.6f}, displacement rmse "
+        f"{disp_rmse:.6f} (predict-zero {base_rmse:.6f})"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -93,7 +93,36 @@ def run_nbody(
         if ckpt_dir and (i + 1) % cfg.train.checkpoint_every == 0:
             save_checkpoint(ckpt_dir, i + 1, state)
     jax.block_until_ready(state.params)
-    return {"final_loss": float(m["loss"]), "steps": steps, "edges": n_edges}
+
+    # held-out eval: fresh trajectories (different seed), displacement error
+    # — the spec's downstream prediction-accuracy gate (BASELINE.json:5),
+    # not just training loss
+    n_eval = max(graphs // 5, 16)
+    ds_e = generate_dataset(n_eval, num_steps=500, seed=cfg.train.seed + 1)
+    feats_e = np.concatenate(
+        [
+            (ds_e["vel0"] ** 2).sum(-1, keepdims=True),
+            ds_e["charges"][..., None],
+            ds_e["vel0"],
+        ],
+        -1,
+    )
+    graph_e = batch_same_size(feats_e, ds_e["pos0"], s, r)
+    vel_e = jnp.asarray(ds_e["vel0"].reshape(-1, 3))
+    target_e = jnp.asarray(ds_e["disp"].reshape(-1, 3))
+    pred = jax.jit(lambda p: model(p, graph_e, vel_e))(state.params)
+    err = pred - target_e
+    eval_mse = float(jnp.mean(err**2))
+    eval_disp_rmse = float(jnp.sqrt(jnp.mean(jnp.sum(err**2, -1))))
+    logger.log(steps, {"eval_mse": eval_mse, "eval_disp_rmse": eval_disp_rmse})
+    return {
+        "final_loss": float(m["loss"]),
+        "eval_mse": eval_mse,
+        "eval_disp_rmse": eval_disp_rmse,
+        "eval_graphs": n_eval,
+        "steps": steps,
+        "edges": n_edges,
+    }
 
 
 def run_qm9(
@@ -156,7 +185,29 @@ def run_qm9(
         if ckpt_dir and (i + 1) % cfg.train.checkpoint_every == 0:
             save_checkpoint(ckpt_dir, i + 1, state)
     jax.block_until_ready(state.params)
-    return {"final_loss": float(m["loss"]), "steps": steps}
+
+    # held-out eval: fresh molecules (different seed), per-graph MAE on the
+    # regressed property — the QM9-style accuracy metric (BASELINE.json:5)
+    n_eval = max(molecules // 5, 32)
+    mols_e = generate_molecules(n_eval, seed=cfg.train.seed + 1)
+    abs_errs = []
+    fwd = jax.jit(lambda p, g: model(p, g)[:, 0])
+    for i in range(0, len(mols_e), bs):
+        chunk = mols_e[i : i + bs]
+        if len(chunk) < bs:
+            break
+        g, t = batch_molecules(
+            chunk, radius=cfg.graph.radius, max_neighbors=cfg.graph.max_neighbors
+        )
+        abs_errs.append(np.abs(np.asarray(fwd(state.params, g)) - np.asarray(t)))
+    eval_mae = float(np.concatenate(abs_errs).mean()) if abs_errs else float("nan")
+    logger.log(steps, {"eval_mae": eval_mae})
+    return {
+        "final_loss": float(m["loss"]),
+        "eval_mae": eval_mae,
+        "eval_molecules": n_eval,
+        "steps": steps,
+    }
 
 
 def run_pointcloud(
@@ -282,4 +333,48 @@ def run_pointcloud(
         state, m = step(state, graph, attrs, target)
         logger.log(i, {"loss": m["loss"]}, edges=n_edges)
     jax.block_until_ready(state.params)
-    return {"final_loss": float(m["loss"]), "steps": steps, "edges": n_edges}
+
+    out = {"final_loss": float(m["loss"]), "steps": steps, "edges": n_edges}
+    if n <= 500_000:
+        # held-out eval: a fresh cloud (different seed) with the same force
+        # law — generalization MSE, not just training loss.  Skipped at the
+        # 1M/10M configs where rebuilding the graph would dominate runtime.
+        rng_e = np.random.default_rng(seed + 1)
+        pts_e = rng_e.random((n, 3)).astype(np.float32)
+        masses_e = rng_e.random((n, 1)).astype(np.float32)
+        tree_e = jax.jit(lambda p: build_octree(p, lo, hi, num_levels=levels))(
+            jnp.asarray(pts_e)
+        )
+        edges_e = jax.jit(
+            lambda t: radius_graph_cell(
+                t, radius, lo, hi, max_neighbors=cfg.graph.max_neighbors,
+                cell_capacity=capacity,
+            )
+        )(tree_e)
+        me = jnp.asarray(masses_e)[tree_e.order]
+        feats_e = jnp.concatenate(
+            [me, jnp.ones_like(me), jnp.zeros((n, 3))], axis=-1
+        )
+        graph_e = DenseEdgeGraph.from_radius_edges(
+            feats_e, tree_e.points, edges_e, symmetrize=symmetrize
+        )
+        rel_e = graph_e.rel_positions()
+        mj_e = jnp.take(me[:, 0], jnp.minimum(graph_e.senders, n - 1))
+        target_e = (
+            rel_e * jnp.where(graph_e.edge_mask, mj_e, 0.0)[..., None]
+        ).sum(axis=1)
+        attrs_e = jax.jit(model.compute_attributes_dense)(graph_e)
+        p_eval = state.params
+        if cfg.train.bf16:
+            graph_e = graph_e._replace(nodes=graph_e.nodes.astype(jnp.bfloat16))
+            attrs_e = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                attrs_e,
+            )
+            p_eval = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p_eval)
+        pred = jax.jit(lambda p: model(p, graph_e, attrs=attrs_e))(p_eval)
+        out["eval_mse"] = float(
+            jnp.mean((pred.astype(jnp.float32) - target_e) ** 2)
+        )
+        logger.log(steps, {"eval_mse": out["eval_mse"]})
+    return out
