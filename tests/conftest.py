@@ -9,10 +9,18 @@ JAX_PLATFORMS env var) before any backend is initialized.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+# SCALABLE_E3_TESTS_ON_TPU=1 keeps the tunneled TPU visible so chip-gated
+# tests (tests/test_remat_kernel.py) can run:
+#   PYTHONPATH=$PWD:$PYTHONPATH SCALABLE_E3_TESTS_ON_TPU=1 \
+#     python -m pytest tests/test_remat_kernel.py -q
+_ON_TPU = os.environ.get("SCALABLE_E3_TESTS_ON_TPU") == "1"
+
+if not _ON_TPU:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
