@@ -53,7 +53,12 @@ def _timed(fn, *args, iters=3):
     array argument by a scalar probe of the previous output (value 0 — results
     unchanged) and one host fetch at the end forces the whole chain."""
     first, rest = args[0], args[1:]
-    probe = lambda o: jax.tree.leaves(o)[0].ravel()[0].astype(jnp.float32)
+
+    def probe(o):
+        # index the first element directly — ravel() materializes a full
+        # copy on big arrays (docs/PERF.md), a scalar slice does not
+        leaf = jax.tree.leaves(o)[0]
+        return leaf[(0,) * leaf.ndim].astype(jnp.float32)
     perturb = jax.jit(lambda a, p: jax.tree.map(
         lambda x: x + p.astype(x.dtype) * 0 if jnp.issubdtype(x.dtype, jnp.inexact) else x, a))
     out = fn(first, *rest)  # warm (compile)
@@ -81,8 +86,41 @@ def main():
     # headline octree metric: build time at 10M points (BASELINE.md)
     pts10m = rng.random((10_000_000, 3)).astype(np.float32)
     build10 = jax.jit(lambda p: build_octree(p, LO, HI, num_levels=8))
-    _, octree10m_s = _timed(build10, jnp.asarray(pts10m), iters=1)
+    tree10, octree10m_s = _timed(build10, jnp.asarray(pts10m), iters=1)
     del pts10m
+
+    # config-5 graph build: 10M-point radius graph, K=16, exact nearest-K
+    # (cell-segmented cell-major; see tools/exp_radius_topk.py for the
+    # approx-selection variant) — reproducible from this one command
+    from scalable_e3_gnn_tpu.graph.radius import radius_graph_cell_segments
+
+    r10 = RADIUS * (N_POINTS / 10_000_000) ** (1 / 3)
+    cap10 = suggest_cell_capacity(tree10, r10, LO, HI)
+    e10 = radius_graph_cell_segments(  # warm (compile)
+        tree10, r10, LO, HI, max_neighbors=16, cell_capacity=cap10,
+        num_segments=10,
+    )
+    jax.block_until_ready(e10.senders)
+    t0 = time.time()
+    e10 = radius_graph_cell_segments(
+        tree10, r10, LO, HI, max_neighbors=16, cell_capacity=cap10,
+        num_segments=10,
+    )
+    jax.block_until_ready(e10.senders)
+    radius10m_s = time.time() - t0
+    e10a = radius_graph_cell_segments(  # warm (compile)
+        tree10, r10, LO, HI, max_neighbors=16, cell_capacity=cap10,
+        num_segments=10, selection="approx",
+    )
+    jax.block_until_ready(e10a.senders)
+    t0 = time.time()
+    e10a = radius_graph_cell_segments(
+        tree10, r10, LO, HI, max_neighbors=16, cell_capacity=cap10,
+        num_segments=10, selection="approx",
+    )
+    jax.block_until_ready(e10a.senders)
+    radius10m_approx_s = time.time() - t0
+    del tree10, e10, e10a
 
     cap = suggest_cell_capacity(tree, RADIUS, LO, HI)
     rg = jax.jit(
@@ -165,6 +203,44 @@ def main():
     st2 = make_train_state(p2, optax.adam(1e-3))
     (_, _), lmax2_s = _timed(lambda s: step2(s, g250b, a2, t2), st2, iters=3)
     n_edges2 = int(g250.edge_mask.sum())
+    del st2, g250, g250b, a2, t2, tree250, e250
+
+    # config-4 FULL: 1M points, lmax=2, K=16, fused generic kernel,
+    # remat_kernel (the HBM enabler) — reproducible from this one command
+    # (VERDICT r1: BASELINE.md claims the driver can't re-run aren't evidence)
+    from scalable_e3_gnn_tpu.graph.radius import search_level_for_radius
+
+    n1m = 1_000_000
+    pts1m = rng.random((n1m, 3)).astype(np.float32)
+    r1m = RADIUS * (N_POINTS / n1m) ** (1 / 3)
+    lv1 = max(4, search_level_for_radius(r1m, LO, HI) + 1)
+    tree1m = jax.jit(lambda p: build_octree(p, LO, HI, num_levels=lv1))(
+        jnp.asarray(pts1m))
+    cap1 = suggest_cell_capacity(tree1m, r1m, LO, HI)
+    e1m = jax.jit(lambda t: radius_graph_cell(
+        t, r1m, LO, HI, max_neighbors=16, cell_capacity=cap1))(tree1m)
+    g1m = DenseEdgeGraph.from_radius_edges(
+        jnp.asarray(rng.standard_normal((n1m, 5)).astype(np.float32)),
+        tree1m.points, e1m, symmetrize=True)
+    m4 = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"), Irreps("1x1o"),
+               lmax_attr=2, num_layers=NUM_LAYERS, remat=True, layout="cm",
+               use_pallas=True, remat_kernel=True)
+    p4 = m4.init(jax.random.key(0))
+    a4 = jax.jit(m4.compute_attributes_dense)(g1m)
+    g1mb = g1m._replace(nodes=g1m.nodes.astype(jnp.bfloat16))
+    a4 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, a4)
+    t4 = jnp.asarray(rng.standard_normal((n1m, 3)), jnp.float32)
+
+    def loss4(p, g, a, t):
+        p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+        return mse_loss(m4(p, g, attrs=a).astype(jnp.float32), t)
+
+    step4 = make_train_step(loss4, optax.adam(1e-3), donate=False)
+    st4 = make_train_state(p4, optax.adam(1e-3))
+    (_, _), c4_s = _timed(lambda s: step4(s, g1mb, a4, t4), st4, iters=2)
+    n_edges4 = int(g1m.edge_mask.sum())
+    del st4, g1m, g1mb, a4, t4, tree1m, e1m, pts1m
 
     edges_per_s = num_edges / step_s
 
@@ -185,6 +261,10 @@ def main():
                     "radius_graph_ms_100k": round(radius_s * 1e3, 2),
                     "lmax2_250k_step_ms": round(lmax2_s * 1e3, 1),
                     "lmax2_250k_edges_per_s": round(n_edges2 / lmax2_s, 1),
+                    "config4_1m_step_ms": round(c4_s * 1e3, 1),
+                    "config4_1m_edges_per_s": round(n_edges4 / c4_s, 1),
+                    "radius_graph_s_10m": round(radius10m_s, 2),
+                    "radius_graph_s_10m_approx": round(radius10m_approx_s, 2),
                     "hidden": HIDDEN,
                     "layers": NUM_LAYERS,
                     "device": str(jax.devices()[0]),

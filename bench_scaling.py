@@ -47,13 +47,15 @@ from scalable_e3_gnn_tpu.train.pipeline import make_train_state
 
 
 def build_cloud(n, k, radius_scale=1.0):
+    from scalable_e3_gnn_tpu.graph.radius import search_level_for_radius
+
     rng = np.random.default_rng(0)
     pts = rng.random((n, 3)).astype(np.float32)
-    levels = max(4, int(np.log2(max(n, 2)) / 3) + 2)
+    r = 0.04 * (100_000 / n) ** (1 / 3) * radius_scale
+    levels = max(4, search_level_for_radius(r, (0.0,) * 3, (1.0,) * 3) + 1)
     tree = jax.jit(
         lambda p: build_octree(p, (0.0,) * 3, (1.0,) * 3, num_levels=levels)
     )(jnp.asarray(pts))
-    r = 0.04 * (100_000 / n) ** (1 / 3) * radius_scale
     cap = suggest_cell_capacity(tree, r, (0.0,) * 3, (1.0,) * 3)
     edges = jax.jit(
         lambda t: radius_graph_cell(

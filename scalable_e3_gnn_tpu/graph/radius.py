@@ -59,18 +59,36 @@ class RadiusEdges(NamedTuple):
     num_edges: jnp.ndarray  # [] int32 — number of valid edges
 
 
-def _topk_neighbors(d2, cand_idx, valid, radius, self_idx, k):
+def _topk_neighbors(d2, cand_idx, valid, radius, self_idx, k,
+                    selection="sort", approx_recall=0.95):
     """Per-row nearest-k selection among masked candidates.
 
     d2/cand_idx/valid: [rows, M]; returns senders [rows, k], mask [rows, k].
+
+    ``selection``:
+    - "sort" (default, exact): full ``sort_key_val`` — a bitonic network,
+      ~M log²M compare-exchanges per row.  This DOMINATES large builds
+      (the distance math is ~10 flops/candidate).
+    - "approx": ``lax.approx_min_k`` (the TPU PartialReduce custom call) at
+      ``approx_recall`` — measured 11.6x faster end-to-end at 1M points
+      (15.3 s -> 1.33 s) with 96.5% per-slot agreement / 99.97% of edges at
+      recall 0.95; the misses are among near-equidistant far neighbors.
+      Opt-in for production-scale clouds where the neighbor list is already
+      a nearest-K truncation.
     """
     ok = valid & (d2 <= radius * radius) & (cand_idx != self_idx[:, None])
     key = jnp.where(ok, d2, jnp.inf)
-    # sort_key_val instead of lax.top_k: equal end-to-end build time (XLA
-    # lowers top_k to a sort on TPU) but beats it in isolation and is the
-    # simpler form; both are stable, so tie-breaks match
-    skey, senders = jax.lax.sort_key_val(key, cand_idx, dimension=1)
-    skey, senders = skey[:, :k], senders[:, :k]
+    if selection == "approx":
+        skey, pos = jax.lax.approx_min_k(key, k, recall_target=approx_recall)
+        senders = jnp.take_along_axis(cand_idx, pos, axis=1)
+    elif selection == "sort":
+        # sort_key_val instead of lax.top_k: equal end-to-end build time (XLA
+        # lowers top_k to a sort on TPU) but beats it in isolation and is the
+        # simpler form; both are stable, so tie-breaks match
+        skey, senders = jax.lax.sort_key_val(key, cand_idx, dimension=1)
+        skey, senders = skey[:, :k], senders[:, :k]
+    else:
+        raise ValueError(f"unknown selection {selection!r}")
     mask = jnp.isfinite(skey)
     return jnp.where(mask, senders, jnp.int32(2**31 - 1)), mask
 
@@ -200,6 +218,8 @@ def radius_graph_cell(
     level: Optional[int] = None,
     block_size: int = 1024,
     row_range: Optional[Tuple[int, int]] = None,
+    selection: str = "sort",
+    approx_recall: float = 0.95,
 ) -> RadiusEdges:
     """Radius graph from octree cells; indices are in *sorted* point space.
 
@@ -225,11 +245,11 @@ def radius_graph_cell(
     if row_range is None:
         return _radius_graph_cell_major(
             tree, radius, lo, hi, max_neighbors, cell_capacity, level,
-            block_size,
+            block_size, selection, approx_recall,
         )
     return _radius_graph_row_major(
         tree, radius, lo, hi, max_neighbors, cell_capacity, level,
-        block_size, row_range,
+        block_size, row_range, selection, approx_recall,
     )
 
 
@@ -242,9 +262,12 @@ def _radius_graph_cell_major(
     cell_capacity: int,
     level: Optional[int],
     block_size: int,
+    selection: str = "sort",
+    approx_recall: float = 0.95,
 ) -> RadiusEdges:
     senders_cs, mask_cs = _cell_major_slots(
-        tree, radius, lo, hi, max_neighbors, cell_capacity, level, block_size
+        tree, radius, lo, hi, max_neighbors, cell_capacity, level, block_size,
+        selection=selection, approx_recall=approx_recall,
     )
     return _compact_cell_slots(
         tree, radius, lo, hi, max_neighbors, cell_capacity, level,
@@ -260,7 +283,7 @@ def _resolve_level(tree, radius, lo, hi, level):
 
 def _cell_major_slots(
     tree, radius, lo, hi, max_neighbors, cell_capacity, level, block_size,
-    cell_range=None,
+    cell_range=None, selection="sort", approx_recall=0.95,
 ):
     """Nearest-K selection for a range of whole CELLS, in cell-slot space.
 
@@ -330,6 +353,8 @@ def _cell_major_slots(
             radius,
             rowsf,
             k,
+            selection=selection,
+            approx_recall=approx_recall,
         )
 
     senders_cs, mask_cs = jax.lax.map(one_block, jnp.arange(nb))
@@ -383,6 +408,8 @@ def radius_graph_cell_segments(
     level: Optional[int] = None,
     block_size: int = 1024,
     num_segments: int = 8,
+    selection: str = "sort",
+    approx_recall: float = 0.95,
 ) -> RadiusEdges:
     """Cell-segmented build for clouds too big for one compiled program.
 
@@ -402,7 +429,8 @@ def radius_graph_cell_segments(
     fn = jax.jit(
         lambda t, c0: _cell_major_slots(
             t, radius, lo, hi, max_neighbors, cap, lv, block_size,
-            cell_range=(c0, seg),
+            cell_range=(c0, seg), selection=selection,
+            approx_recall=approx_recall,
         )
     )
     parts = [fn(tree, jnp.int32(c0)) for c0 in range(0, capc, seg)]
@@ -423,6 +451,8 @@ def _radius_graph_row_major(
     level: Optional[int],
     block_size: int,
     row_range: Tuple[int, int],
+    selection: str = "sort",
+    approx_recall: float = 0.95,
 ) -> RadiusEdges:
     n = tree.num_points
     k = max_neighbors
@@ -475,6 +505,8 @@ def _radius_graph_row_major(
             radius,
             row_idx,
             k,
+            selection=selection,
+            approx_recall=approx_recall,
         )
 
     senders, mask = jax.lax.map(one_block, jnp.arange(nb))

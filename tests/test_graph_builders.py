@@ -125,6 +125,28 @@ def test_radius_cell_vs_brute():
     assert _edge_set(eb) == _edge_set(ec)
 
 
+def test_radius_cell_approx_selection():
+    """selection='approx' (lax.approx_min_k, the TPU PartialReduce top-k):
+    on small candidate sets at high recall it must recover the full edge set
+    within radius; K-slot assignment may reorder ties, so compare edge sets
+    restricted to rows where K does not truncate."""
+    pts = _cloud(n=400, seed=7)
+    tree = build_octree(pts, LO, HI, num_levels=5)
+    r = 0.5
+    k = 48  # large enough that no row truncates (max degree ~30 here)
+    es = radius_graph_cell(tree, r, LO, HI, max_neighbors=k, cell_capacity=64)
+    ea = radius_graph_cell(
+        tree, r, LO, HI, max_neighbors=k, cell_capacity=64,
+        selection="approx", approx_recall=0.99,
+    )
+    assert _edge_set(es) == _edge_set(ea)
+    with pytest.raises(ValueError):
+        radius_graph_cell(
+            tree, r, LO, HI, max_neighbors=k, cell_capacity=64,
+            selection="bogus",
+        )
+
+
 def test_radius_cell_major_vs_row_major_segments():
     """Cell-major (default) and segmented row-major paths emit the same
     edge set; the segmented build covers the cloud in two row ranges."""
