@@ -15,10 +15,75 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["generate_molecules", "batch_molecules", "NUM_SPECIES"]
+__all__ = ["generate_molecules", "batch_molecules", "load_qm9", "NUM_SPECIES"]
 
 NUM_SPECIES = 5
 _COV_RADII = np.array([0.32, 0.75, 0.71, 0.63, 0.64])  # H C N O F (Å-ish)
+
+_SPECIES_OF = {"H": 0, "C": 1, "N": 2, "O": 3, "F": 4}
+# gdb9 line-2 token index per property (after 'gdb_<idx>'): SI of
+# Ramakrishnan et al. 2014 — A B C mu alpha homo lumo gap r2 zpve U0 U H G Cv
+_QM9_PROPS = {
+    "A": 2, "B": 3, "C": 4, "mu": 5, "alpha": 6, "homo": 7, "lumo": 8,
+    "gap": 9, "r2": 10, "zpve": 11, "U0": 12, "U": 13, "H": 14, "G": 15,
+    "Cv": 16,
+}
+
+
+def _parse_qm9_xyz(text: str, target: str) -> dict:
+    """One dsgdb9nsd .xyz record -> molecule dict (positions in Å).
+
+    Format: line 1 = natoms; line 2 = 'gdb <idx> <17 scalar properties>';
+    then natoms lines '<symbol> <x> <y> <z> <mulliken>'.  Floats may use
+    Fortran D-notation (1.234*^-5 / 1.234D-5 in some mirrors)."""
+    f = lambda s: float(s.replace("*^", "e").replace("D", "e").replace("d", "e"))
+    lines = text.strip().splitlines()
+    n = int(lines[0].split()[0])
+    props = lines[1].split()
+    tgt = f(props[_QM9_PROPS[target]])
+    species = np.zeros((n,), np.int64)
+    pos = np.zeros((n, 3), np.float32)
+    for i, ln in enumerate(lines[2 : 2 + n]):
+        tok = ln.split()
+        species[i] = _SPECIES_OF[tok[0]]
+        pos[i] = [f(tok[1]), f(tok[2]), f(tok[3])]
+    return {"species": species, "positions": pos, "target": float(tgt)}
+
+
+def load_qm9(
+    path: str,
+    target: str = "U0",
+    max_atoms: int = 29,
+    limit: int | None = None,
+) -> List[dict]:
+    """Load real QM9 molecules from a directory of dsgdb9nsd .xyz files (or
+    a single multi-record source isn't supported — QM9 ships one file per
+    molecule).  Returns the same molecule-dict list as
+    ``generate_molecules``, so ``batch_molecules`` / ``run_qm9`` work
+    unchanged.  This sandbox has no network access (the dataset cannot be
+    fetched here), so callers must point ``path`` at an existing download;
+    a clear error is raised otherwise.
+    """
+    import glob
+    import os
+
+    if target not in _QM9_PROPS:
+        raise ValueError(f"unknown QM9 target {target!r}; one of {sorted(_QM9_PROPS)}")
+    files = sorted(glob.glob(os.path.join(path, "*.xyz")))
+    if not files:
+        raise FileNotFoundError(
+            f"no .xyz files under {path!r} — download QM9 (dsgdb9nsd) there, "
+            "or use generate_molecules() for the synthetic stand-in"
+        )
+    if limit is not None:
+        files = files[:limit]
+    mols = []
+    for fn in files:
+        with open(fn) as fh:
+            m = _parse_qm9_xyz(fh.read(), target)
+        if len(m["species"]) <= max_atoms:
+            mols.append(m)
+    return mols
 
 
 def _random_molecule(rng: np.random.Generator, min_atoms=3, max_atoms=29):

@@ -132,15 +132,22 @@ def run_qm9(
     batch_size: Optional[int] = None,
     ckpt_dir: Optional[str] = None,
     log: Optional[str] = None,
+    data_path: Optional[str] = None,
+    target: str = "U0",
 ) -> dict:
-    """Config 2: QM9-style molecular property regression, padded batches."""
+    """Config 2: QM9-style molecular property regression, padded batches.
+
+    ``data_path``: directory of real QM9 .xyz files (data.qm9.load_qm9);
+    default is the synthetic stand-in (no network in this sandbox).
+    """
     _setup()
     import jax
     import jax.numpy as jnp
     import optax
 
     from ..core.irreps import Irreps
-    from ..data.qm9 import NUM_SPECIES, batch_molecules, generate_molecules
+    from ..data.qm9 import (NUM_SPECIES, batch_molecules, generate_molecules,
+                            load_qm9)
     from ..models.segnn import SEGNN
     from ..train.checkpoint import save_checkpoint
     from ..train.metrics import MetricsLogger
@@ -150,7 +157,13 @@ def run_qm9(
     cfg = cfg or qm9_config()
     steps = steps if steps is not None else cfg.train.num_steps
     bs = batch_size or cfg.train.batch_size
-    mols = generate_molecules(molecules, seed=cfg.train.seed)
+    n_eval = max(molecules // 5, 32)
+    if data_path:
+        allm = load_qm9(data_path, target=target, limit=molecules + n_eval)
+        mols, mols_eval = allm[:molecules], allm[molecules:]
+    else:
+        mols = generate_molecules(molecules, seed=cfg.train.seed)
+        mols_eval = None
     batches = [
         batch_molecules(
             mols[i : i + bs],
@@ -186,10 +199,14 @@ def run_qm9(
             save_checkpoint(ckpt_dir, i + 1, state)
     jax.block_until_ready(state.params)
 
-    # held-out eval: fresh molecules (different seed), per-graph MAE on the
-    # regressed property — the QM9-style accuracy metric (BASELINE.json:5)
-    n_eval = max(molecules // 5, 32)
-    mols_e = generate_molecules(n_eval, seed=cfg.train.seed + 1)
+    # held-out eval: fresh molecules (different seed for the synthetic
+    # stand-in; the tail split for real QM9), per-graph MAE on the regressed
+    # property — the QM9-style accuracy metric (BASELINE.json:5)
+    mols_e = (
+        mols_eval
+        if mols_eval
+        else generate_molecules(n_eval, seed=cfg.train.seed + 1)
+    )
     abs_errs = []
     fwd = jax.jit(lambda p, g: model(p, g)[:, 0])
     for i in range(0, len(mols_e), bs):

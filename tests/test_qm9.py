@@ -65,3 +65,38 @@ def test_graph_regression_trains():
         if first is None:
             first = float(m["loss"])
     assert float(m["loss"]) < 0.5 * first, (first, float(m["loss"]))
+
+
+def test_load_qm9_parses_real_format(tmp_path):
+    """The real-QM9 loader parses the dsgdb9nsd .xyz record format
+    (Fortran D-notation floats included) into the standard molecule dicts."""
+    from scalable_e3_gnn_tpu.data.qm9 import load_qm9
+
+    rec = (
+        "3\n"
+        "gdb 42\t157.7\t157.7\t157.7\t0.0\t13.21\t-0.3877\t0.1171\t0.5048\t"
+        "35.36\t0.044749\t-40.478930\t-40.476062\t-40.475117\t-40.498597\t6.469\n"
+        "C\t-0.0126981359\t1.0858041578\t0.0080009958\t-0.535689\n"
+        "H\t0.002150416\t-0.0060313176\t0.0019761204\t0.133921\n"
+        "O\t1.0117308433\t1.4637511618\t2.7*^-4\t0.133922\n"
+        "1341.307\t1341.3284\t1341.365\n"
+        "C\tC\n"
+        "InChI=1S/CH4/h1H4\tInChI=1S/CH4/h1H4\n"
+    )
+    (tmp_path / "dsgdb9nsd_000042.xyz").write_text(rec)
+    mols = load_qm9(str(tmp_path), target="U0")
+    assert len(mols) == 1
+    m = mols[0]
+    assert m["species"].tolist() == [1, 0, 3]  # C H O
+    assert abs(m["target"] - (-40.478930)) < 1e-9
+    assert abs(m["positions"][2, 2] - 2.7e-4) < 1e-9
+    # batches through the standard path
+    g, t = batch_molecules(mols)
+    assert g.n_graphs == 1 and t.shape == (1,)
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_qm9(str(tmp_path / "missing"))
+    with pytest.raises(ValueError):
+        load_qm9(str(tmp_path), target="nope")
