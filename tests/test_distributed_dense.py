@@ -206,6 +206,60 @@ def test_dense_precomputed_attrs_match():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
 
+def test_dense_dp_times_graph_mesh():
+    """2 independent clouds data-parallel x 4-way spatial (dense path)."""
+    from scalable_e3_gnn_tpu.parallel.halo import _shard_args_dense
+
+    model = _model(use_pallas=False, num_layers=1)
+    params = model.init(jax.random.key(6))
+    parts, gs_ts = [], []
+    caps = dict(halo_cap=160, interior_cap=96, boundary_cap=96)
+    for d in range(2):
+        g, tgt = _problem(n=256, seed=20 + d)
+        parts.append(_partition(g, 4, **caps))
+        gs_ts.append((g, tgt))
+    # rev tables must share Q across the dp stack: re-pad to the max
+    def pad_rev(a, q):
+        out = np.full(a.shape[:-1] + (q,), 0, a.dtype)
+        # sentinel differs per partition config but values >= R*K all read 0;
+        # use the max int to stay out of range
+        out[...] = np.iinfo(np.int32).max
+        out[..., : a.shape[-1]] = a
+        return out
+
+    qi = max(p.rev_int.shape[-1] for p in parts)
+    qb = max(p.rev_ext.shape[-1] for p in parts)
+    parts = [
+        p._replace(rev_int=pad_rev(p.rev_int, qi), rev_ext=pad_rev(p.rev_ext, qb))
+        for p in parts
+    ]
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "graph"))
+    stacked = tuple(
+        jnp.stack([a, b])
+        for a, b in zip(_shard_args_dense(parts[0]), _shard_args_dense(parts[1]))
+    )
+    tgt_sh = jnp.stack(
+        [
+            jnp.asarray(t[np.clip(p.global_ids, 0, None)])
+            for p, (_, t) in zip(parts, gs_ts)
+        ]
+    )
+    step = make_dist_train_step_dense(model, optax.sgd(1.0), mesh, dp_axis="dp")
+    st = make_train_state(jax.tree.map(jnp.copy, params), optax.sgd(1.0))
+    st2, m = step(st, stacked, tgt_sh)
+
+    def ref_loss(p):
+        return sum(mse_loss(model(p, g), jnp.asarray(t)) for g, t in gs_ts) / 2.0
+
+    gs = jax.grad(ref_loss)(params)
+    gd = jax.tree.map(lambda a, b: a - b, params, st2.params)
+    md = max(
+        jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), gs, gd))
+    )
+    assert md < 5e-5, md
+
+
 def test_dense_rdma_backend_forward():
     """backend='rdma' (Pallas ring all-gather) must match the XLA backend."""
     g, _ = _problem(n=256)
