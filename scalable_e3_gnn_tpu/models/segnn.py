@@ -594,8 +594,10 @@ class SEGNNLayer:
         n, k = senders.shape
         f = h_local.shape[-1]
         # pad node rows to a multiple of the tile: grid-step overhead at
-        # tile=8/16 dominates otherwise (250k rows = 15625+ grid steps)
-        tile, bwd = 64, 32
+        # tile=8/16 dominates otherwise (250k rows = 15625+ grid steps);
+        # bwd=64 measured ~1.5% faster than 32 at the 250k lmax=2 config
+        # (tools/exp_lmax2_tiles.py) and fits VMEM at every config tested
+        tile, bwd = 64, 64
         npad = -(-n // tile) * tile
         key = (k, npad)
         if key not in self._generic_kernels:

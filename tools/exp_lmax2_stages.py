@@ -50,7 +50,7 @@ def timed(name, fn, x, iters=8):
 
 def main():
     rng = np.random.default_rng(0)
-    n, k = 250_000, 16
+    n, k = 256_000, 16
     pts = rng.random((n, 3)).astype(np.float32)
     r = 0.04 * (100_000 / n) ** (1 / 3)
     tree = jax.jit(lambda p: build_octree(p, (0.,)*3, (1.,)*3, num_levels=7))(
