@@ -1,0 +1,275 @@
+"""Failure detection + elastic recovery (SURVEY.md §5.3; parallel/failover.py).
+
+Three layers:
+- heartbeat/staleness unit tests (fake clock);
+- Supervisor integration with cheap pure-Python workers: one worker crashes
+  hard mid-run (and, separately, hangs), the supervisor detects it, restarts
+  the world, and the checkpoint-resumed computation finishes with exactly
+  the uninterrupted result;
+- the kill-one-host test: a REAL 2-process ``jax.distributed`` training
+  loop (psum'd gradients over the global mesh) whose victim process
+  ``os._exit``s mid-collective; the survivor hangs in the psum (the realistic
+  failure mode), the supervisor kills the world and restarts it, and the
+  final parameters match the closed-form uninterrupted run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from scalable_e3_gnn_tpu.parallel.failover import (
+    Heartbeat,
+    Supervisor,
+    read_heartbeats,
+    stale_processes,
+)
+
+# ---------------------------------------------------------------------------
+# heartbeat units
+# ---------------------------------------------------------------------------
+
+
+def test_heartbeat_roundtrip(tmp_path):
+    hb = Heartbeat(str(tmp_path), 3)
+    hb.beat(17, now=1000.0)
+    beats = read_heartbeats(str(tmp_path))
+    assert beats[3]["step"] == 17
+    assert beats[3]["t"] == 1000.0
+
+
+def test_stale_detection(tmp_path):
+    d = str(tmp_path)
+    Heartbeat(d, 0).beat(5, now=1000.0)
+    Heartbeat(d, 1).beat(5, now=1090.0)
+    # process 2 never started
+    assert stale_processes(d, 3, timeout_s=60.0, now=1100.0) == [0]
+    assert stale_processes(d, 3, timeout_s=60.0, now=1100.0,
+                           require_started=True) == [0, 2]
+    assert stale_processes(d, 3, timeout_s=200.0, now=1100.0) == []
+
+
+# ---------------------------------------------------------------------------
+# supervisor with cheap workers (no JAX): crash + hang recovery
+# ---------------------------------------------------------------------------
+
+_CHEAP_WORKER = textwrap.dedent(
+    """
+    import json, os, sys, time
+    sys.path.insert(0, os.environ["E3GNN_REPO"])
+    from scalable_e3_gnn_tpu.parallel.failover import Heartbeat, inject_failure
+
+    pid = int(os.environ["E3GNN_PID"])
+    work = os.environ["E3GNN_WORK"]
+    incarnation = int(os.environ["E3GNN_INCARNATION"])
+    hb = Heartbeat(os.path.join(work, "hb"), pid)
+    ckpt = os.path.join(work, "ckpt.json")
+    v, start = (0, 0)
+    if os.path.exists(ckpt):
+        with open(ckpt) as f:
+            v, start = json.load(f)
+    for s in range(start, 10):
+        hb.beat(s)
+        v = v * 3 + 1  # deterministic chain: interruption must not change it
+        if pid == 0:
+            with open(ckpt + ".tmp", "w") as f:
+                json.dump([v, s + 1], f)
+            os.replace(ckpt + ".tmp", ckpt)
+        if os.environ.get("E3GNN_HANG") == "1" and incarnation == 0 \\
+                and pid == 1 and s == 4:
+            time.sleep(3600)
+        inject_failure(s)
+        time.sleep(0.02)
+    if pid == 0:
+        with open(os.path.join(work, "final.json"), "w") as f:
+            json.dump(v, f)
+    """
+)
+
+
+def _run_cheap_world(tmp_path, extra_env, heartbeat_timeout_s=60.0):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_CHEAP_WORKER)
+    work = str(tmp_path)
+
+    def launch(pid, incarnation):
+        env = dict(os.environ)
+        env.update(
+            E3GNN_PID=str(pid),
+            E3GNN_WORK=work,
+            E3GNN_INCARNATION=str(incarnation),
+            E3GNN_REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            **extra_env,
+        )
+        return subprocess.Popen([sys.executable, str(worker)], env=env)
+
+    sup = Supervisor(
+        launch, num_processes=2, heartbeat_dir=os.path.join(work, "hb"),
+        heartbeat_timeout_s=heartbeat_timeout_s, max_restarts=2,
+        poll_s=0.05, wall_timeout_s=120.0,
+    )
+    return sup.run(), work
+
+
+def _uninterrupted_chain(steps=10):
+    v = 0
+    for _ in range(steps):
+        v = v * 3 + 1
+    return v
+
+
+def test_supervisor_recovers_from_crash(tmp_path):
+    report, work = _run_cheap_world(
+        tmp_path, {"E3GNN_DIE_AT_STEP": "4", "E3GNN_DIE_PROCESS": "1"})
+    assert report.ok, report
+    assert report.restarts == 1, report
+    with open(os.path.join(work, "final.json")) as f:
+        assert json.load(f) == _uninterrupted_chain()
+
+
+def test_supervisor_recovers_from_hang(tmp_path):
+    report, work = _run_cheap_world(
+        tmp_path, {"E3GNN_HANG": "1"}, heartbeat_timeout_s=1.0)
+    assert report.ok, report
+    assert report.restarts == 1, report
+    with open(os.path.join(work, "final.json")) as f:
+        assert json.load(f) == _uninterrupted_chain()
+
+
+def test_supervisor_gives_up_after_max_restarts(tmp_path):
+    # every incarnation dies (injection keyed to incarnation 0 is bypassed
+    # by making every process the victim at step 0 via a raw env override)
+    worker = tmp_path / "dieworker.py"
+    worker.write_text("import os\nos._exit(9)\n")
+
+    def launch(pid, incarnation):
+        return subprocess.Popen([sys.executable, str(worker)])
+
+    sup = Supervisor(
+        launch, num_processes=1, heartbeat_dir=str(tmp_path / "hb"),
+        max_restarts=2, poll_s=0.05, wall_timeout_s=60.0,
+    )
+    report = sup.run()
+    assert not report.ok
+    assert report.reason == "max restarts exceeded"
+
+
+# ---------------------------------------------------------------------------
+# kill-one-host: real jax.distributed world, victim dies mid-run
+# ---------------------------------------------------------------------------
+
+_JAX_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    pid = int(os.environ["E3GNN_PID"]); nproc = 2
+    port = os.environ["E3GNN_PORT"]; work = os.environ["E3GNN_WORK"]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+    sys.path.insert(0, os.environ["E3GNN_REPO"])
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=nproc,
+        process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from scalable_e3_gnn_tpu.parallel.failover import (
+        Heartbeat, inject_failure, resume_or_init)
+    from scalable_e3_gnn_tpu.train.checkpoint import save_checkpoint
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("dp",))
+    base = np.linspace(0.0, 1.0, 8, dtype=np.float32)
+    x_local = (base * (pid + 1))[None, :]
+    X = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("dp")), x_local)
+
+    def local_grad(xl, w):
+        g = w - xl[0]
+        return jax.lax.psum(g, "dp") / nproc
+
+    @jax.jit
+    def step(w, X):
+        g = shard_map(local_grad, mesh=mesh,
+                      in_specs=(P("dp"), P()), out_specs=P())(X, w)
+        return w - 0.5 * g
+
+    hb = Heartbeat(os.path.join(work, "hb"), pid)
+    w0 = jnp.zeros((8,), jnp.float32)
+    ckpt_dir = os.path.join(work, "ckpt")
+    w, start = resume_or_init(ckpt_dir, w0)
+    w = jax.device_put(np.asarray(w), NamedSharding(mesh, P()))
+    for s in range(start, 6):
+        hb.beat(s)
+        w = jax.block_until_ready(step(w, X))
+        if pid == 0:
+            save_checkpoint(ckpt_dir, s + 1, np.asarray(w))
+        # dies AFTER the checkpoint of step s+1: the survivor hangs in the
+        # next psum, which is the realistic lost-host failure mode
+        inject_failure(s)
+    print("FINAL " + " ".join(f"{v:.8f}" for v in np.asarray(w)), flush=True)
+    """
+)
+
+
+def test_kill_one_host_elastic_recovery(tmp_path):
+    worker = tmp_path / "jax_worker.py"
+    worker.write_text(_JAX_WORKER)
+    work = str(tmp_path)
+    outs = {}
+
+    def launch(pid, incarnation):
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS")
+        }
+        env.update(
+            E3GNN_PID=str(pid),
+            E3GNN_WORK=work,
+            E3GNN_INCARNATION=str(incarnation),
+            E3GNN_PORT=str(12817 + incarnation),  # coordinator port per world
+            E3GNN_REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            E3GNN_DIE_AT_STEP="2",
+            E3GNN_DIE_PROCESS="1",
+        )
+        p = subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        outs[(incarnation, pid)] = p
+        return p
+
+    sup = Supervisor(
+        launch, num_processes=2, heartbeat_dir=os.path.join(work, "hb"),
+        heartbeat_timeout_s=120.0, max_restarts=2, poll_s=0.2,
+        wall_timeout_s=420.0,
+    )
+    report = sup.run()
+    if not report.ok:
+        errs = "\n".join(
+            p.stderr.read()[-500:] if p.stderr else ""
+            for p in outs.values() if p.poll() is not None)
+        if "distributed" in errs.lower() and report.restarts == 0:
+            pytest.skip(f"jax.distributed unavailable here: {errs[-400:]}")
+        pytest.fail(f"{report}\n{errs[-3000:]}")
+    assert report.restarts == 1, report
+
+    finals = []
+    for (inc, pid), p in outs.items():
+        if inc != report.restarts:
+            continue
+        out = p.stdout.read() if p.stdout else ""
+        for line in out.splitlines():
+            if line.startswith("FINAL"):
+                finals.append(np.array([float(t) for t in line.split()[1:]]))
+    assert len(finals) == 2
+    np.testing.assert_array_equal(finals[0], finals[1])
+    # closed form of the uninterrupted run: w_k = xbar * (1 - 0.5^k), k=6
+    xbar = np.linspace(0.0, 1.0, 8, dtype=np.float32) * 1.5
+    np.testing.assert_allclose(finals[0], xbar * (1 - 0.5 ** 6), rtol=1e-5)
