@@ -8,11 +8,22 @@ running the existing jnp building blocks (``ops.tensor_product.TensorProduct``
 body on VMEM-resident edge tiles.  Those modules are written in 2-D
 component-major ('cm') form precisely so they lower through Mosaic.
 
-The backward pass is a second Pallas kernel that differentiates the same
-tile computation with ``jax.vjp`` *inside* the kernel — no hand-derived
-gradients, still fully fused (one HBM read of the gathered features, one
-write of their cotangent).  Weight gradients accumulate in fp32 across the
-sequential grid (init at program 0).
+The backward pass is a second Pallas kernel.  Two modes:
+
+- **residual_bwd (default, folded-GEMM layers only)**: the forward kernel
+  additionally writes each message layer's *pre-gate* TP output ``y_i``
+  (the only expensive-to-recompute intermediates — everything else is a
+  gate activation or a lane multiply away).  The backward reads them and
+  runs a hand-structured transpose of the folded-GEMM chain: it never
+  replays the forward GEMMs, cutting ≈ one kernel-forward of MXU/VPU work
+  per layer for ~R·ΣD_i extra HBM traffic (≈4 ms/layer at the 250k lmax=2
+  config — docs/PERF.md "residual-saving backward").
+- **fallback** (any non-foldable layer): differentiate the whole tile
+  computation with ``jax.vjp`` *inside* the kernel — no hand-derived
+  gradients, at the cost of an in-kernel forward replay.
+
+Weight gradients accumulate in fp32 across the sequential grid (init at
+program 0) in both modes.
 
 What this buys at 1M points / lmax=2: the XLA path materializes hundreds of
 [E, mul]-sized intermediates per layer in HBM and needs edge-chunked
@@ -76,11 +87,18 @@ class FusedMessageGeneric:
     """
 
     def __init__(self, layers: Sequence, k: int, tile: int = 16,
-                 bwd_tile: int = 0) -> None:
+                 bwd_tile: int = 0, residual_bwd: bool = True) -> None:
         self.layers = list(layers)
         self.k = k
         self.tile = tile
         self.bwd_tile = bwd_tile or max(tile // 2, 8)
+        # residual-saving backward requires every layer to be on the folded-
+        # GEMM TP path (hand-transposable) with the standard tp+gate shape
+        self.residual_bwd = residual_bwd and all(
+            hasattr(l, "tp")
+            and getattr(l.tp, "_gemm_default", lambda: False)()
+            for l in layers
+        )
 
         # geometry rides a node-major lane-dense [N, K*(A+2)] operand and
         # expands to per-slot rows in-kernel: flat [R, 1] operands/residuals
@@ -91,14 +109,23 @@ class FusedMessageGeneric:
             return self._fwd_call(params_tuple, hs, hr, geo2)
 
         def call_fwd(params_tuple, hs, hr, geo2):
+            if self.residual_bwd:
+                out, ys = self._fwd_call(params_tuple, hs, hr, geo2,
+                                         save=True)
+                return out, (params_tuple, hs, hr, geo2, tuple(ys))
             out = self._fwd_call(params_tuple, hs, hr, geo2)
-            return out, (params_tuple, hs, hr, geo2)
+            return out, (params_tuple, hs, hr, geo2, None)
 
         def call_bwd(res, d_agg):
-            params_tuple, hs, hr, geo2 = res
-            d_params, dhs, dhr = self._bwd_call(
-                params_tuple, hs, hr, geo2, d_agg
-            )
+            params_tuple, hs, hr, geo2, ys = res
+            if self.residual_bwd:
+                d_params, dhs, dhr = self._bwd_call_res(
+                    params_tuple, hs, hr, geo2, ys, d_agg
+                )
+            else:
+                d_params, dhs, dhr = self._bwd_call(
+                    params_tuple, hs, hr, geo2, d_agg
+                )
             return (d_params, dhs, dhr, jnp.zeros_like(geo2))
 
         self._call = jax.custom_vjp(call)
@@ -113,6 +140,28 @@ class FusedMessageGeneric:
         m = m * maskf
         return jnp.dot(E.T, m.astype(hs_t.dtype),
                        preferred_element_type=jnp.float32)
+
+    def _message_stages(self, params_tuple, hs_t, hr_rep, d2, attr, maskf, E):
+        """Same as ``_message`` but also returns the pre-gate TP outputs
+        ``y_i`` per layer — the residuals the hand-structured backward needs
+        (everything else is reconstructible with cheap elementwise work)."""
+        m = jnp.concatenate([hs_t, hr_rep, d2.astype(hs_t.dtype)], axis=-1)
+        ys = []
+        for layer, p in zip(self.layers, params_tuple):
+            y = layer.tp(p, m, attr)
+            ys.append(y)
+            m = layer.gate(y) if layer.gate is not None else y
+        m = m * maskf
+        out = jnp.dot(E.T, m.astype(hs_t.dtype),
+                      preferred_element_type=jnp.float32)
+        return out, ys
+
+    @staticmethod
+    def _build_z(m, attr, c2):
+        """outer(m, attr) in the folded-GEMM c2-major layout
+        (ops/tensor_product.py:_call_gemm) — C2 lane-wide multiplies."""
+        cols = [m * attr[:, c : c + 1] for c in range(c2)]
+        return jnp.concatenate(cols, axis=-1) if c2 > 1 else cols[0]
 
     # ---- pallas plumbing ----
 
@@ -133,16 +182,19 @@ class FusedMessageGeneric:
         g = _expand_geo(geo_ref[:], tile, self.k, a + 2)
         return g[:, a : a + 1], g[:, :a], g[:, a + 1 : a + 2]
 
-    def _fwd_call(self, params_tuple, hs, hr, geo2):
+    def _fwd_call(self, params_tuple, hs, hr, geo2, save: bool = False):
         n, f = hr.shape
         a = geo2.shape[-1] // self.k - 2
         tile = self.tile
         assert n % tile == 0, (n, tile)
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
+        nlay = len(self.layers)
 
         def kernel(*refs):
-            (hs_ref, hr_ref, geo_ref), w_refs, out_ref = (
-                refs[:3], refs[3:-1], refs[-1])
+            hs_ref, hr_ref, geo_ref = refs[:3]
+            w_refs = refs[3 : 3 + len(flat)]
+            out_ref = refs[3 + len(flat)]
+            y_refs = refs[4 + len(flat) :]
             d2_t, attr_t, mask_t = self._geo_rows(geo_ref, tile, a)
             hs_t = hs_ref[:]
             dt = hs_t.dtype
@@ -152,19 +204,39 @@ class FusedMessageGeneric:
             wvals = jax.tree_util.tree_unflatten(
                 treedef, [r[:] for r in w_refs]
             )
-            out = self._message(wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, E)
+            if save:
+                out, ys = self._message_stages(
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, E)
+                for r, y in zip(y_refs, ys):
+                    r[:] = y.astype(r.dtype)
+            else:
+                out = self._message(
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, E)
             out_ref[:] = out.astype(out_ref.dtype)
 
         data_specs, w_specs = self._specs(tile, f, a, flat)
-        return pl.pallas_call(
+        out_specs = pl.BlockSpec((tile, f), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, f), hr.dtype)
+        if save:
+            dims = [l.tp.out_dim for l in self.layers]
+            out_specs = (out_specs,) + tuple(
+                pl.BlockSpec((tile * self.k, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) for d in dims)
+            out_shape = (out_shape,) + tuple(
+                jax.ShapeDtypeStruct((n * self.k, d), hr.dtype)
+                for d in dims)
+        res = pl.pallas_call(
             kernel,
             grid=(n // tile,),
             in_specs=data_specs + w_specs,
-            out_specs=pl.BlockSpec((tile, f), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, f), hr.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=_COMPILER_PARAMS,
         )(hs, hr, geo2, *flat)
+        if save:
+            return res[0], list(res[1 : 1 + nlay])
+        return res
 
     def _bwd_call(self, params_tuple, hs, hr, geo2, d_agg):
         n, f = hr.shape
@@ -235,6 +307,126 @@ class FusedMessageGeneric:
         dw_flat = [
             d.astype(w.dtype) for d, w in zip(outs[2:], flat)
         ]
+        d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
+        return d_params, dhs, dhr
+
+    def _bwd_call_res(self, params_tuple, hs, hr, geo2, ys, d_agg):
+        """Hand-structured backward from saved pre-gate residuals.
+
+        Transpose of the folded-GEMM message chain WITHOUT replaying the
+        forward GEMMs: per layer i (last to first), with ``y_i`` saved and
+        the layer input ``m_{i-1}`` reconstructed cheaply (``m_0`` is a
+        concat of kernel inputs; ``m_i = gate(y_i)`` is elementwise),
+
+            dy_i  = vjp(gate_i, y_i)(dm_i)        (elementwise)
+            dW'_i = z_i^T @ dy_i                  (MXU; z_i = outer(m_{i-1},
+                                                   attr) rebuilt by lane
+                                                   multiplies — too big to
+                                                   save, cheap to rebuild)
+            dz_i  = dy_i @ W'_i^T                 (MXU)
+            dm_{i-1} = Σ_c dz_i[:, cC1:(c+1)C1] · attr[:, c]   (lanes)
+
+        Geometry (d², attr, mask) gets no gradient, matching the fallback
+        backward (positions are inputs, not trained).
+        """
+        n, f = hr.shape
+        a = geo2.shape[-1] // self.k - 2
+        tile = self.bwd_tile
+        assert n % tile == 0, (n, tile)
+        flat, treedef = jax.tree_util.tree_flatten(params_tuple)
+        nlay = len(self.layers)
+        nw = len(flat)
+
+        def kernel(*refs):
+            hs_ref, hr_ref, geo_ref = refs[:3]
+            w_refs = refs[3 : 3 + nw]
+            y_refs = refs[3 + nw : 3 + nw + nlay]
+            dagg_ref = refs[3 + nw + nlay]
+            dhs_ref, dhr_ref = refs[4 + nw + nlay : 6 + nw + nlay]
+            dw_refs = refs[6 + nw + nlay :]
+            d2_t, attr_t, mask_t = self._geo_rows(geo_ref, tile, a)
+            hs_t = hs_ref[:]
+            dt = hs_t.dtype
+            E = _expand_matrix(tile, self.k, dt)
+            hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32
+                             ).astype(dt)
+            wvals = jax.tree_util.tree_unflatten(
+                treedef, [r[:] for r in w_refs]
+            )
+            yts = [r[:] for r in y_refs]
+            # stage inputs: m_0 from kernel operands, m_i = gate(y_i)
+            ms = [jnp.concatenate(
+                [hs_t, hr_rep, d2_t.astype(dt)], axis=-1)]
+            for layer, y in zip(self.layers[:-1], yts[:-1]):
+                ms.append(layer.gate(y) if layer.gate is not None else y)
+
+            dagg = dagg_ref[:].astype(jnp.float32)
+            dm = (jnp.dot(E, dagg, preferred_element_type=jnp.float32)
+                  * mask_t.astype(jnp.float32)).astype(dt)
+            dws: List = [None] * nlay
+            for i in range(nlay - 1, -1, -1):
+                layer = self.layers[i]
+                if layer.gate is not None:
+                    _, gvjp = jax.vjp(layer.gate, yts[i])
+                    dy = gvjp(dm)[0].astype(dt)
+                else:
+                    dy = dm
+                wf = wvals[i]["w_folded"].astype(dt)
+                c1, c2 = layer.tp.in1_dim, layer.tp.in2_dim
+                z = self._build_z(ms[i], attr_t, c2)
+                dws[i] = {"w_folded": jnp.dot(
+                    z.T, dy, preferred_element_type=jnp.float32)}
+                dz = jnp.dot(dy, wf.T, preferred_element_type=jnp.float32)
+                acc = None
+                for c in range(c2):
+                    t = (dz[:, c * c1 : (c + 1) * c1]
+                         * attr_t[:, c : c + 1].astype(jnp.float32))
+                    acc = t if acc is None else acc + t
+                dm = acc.astype(dt)
+            # dm == dm_0 over [hs ‖ hr_rep ‖ d2]
+            dhs_ref[:] = dm[:, :f].astype(dhs_ref.dtype)
+            dhr_ref[:] = jnp.dot(
+                E.T, dm[:, f : 2 * f].astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(dhr_ref.dtype)
+
+            i0 = pl.program_id(0)
+
+            @pl.when(i0 == 0)
+            def _():
+                for r in dw_refs:
+                    r[:] = jnp.zeros_like(r)
+
+            for r, dwv in zip(dw_refs, jax.tree_util.tree_leaves(tuple(dws))):
+                r[:] += dwv.astype(r.dtype)
+
+        data_specs, w_specs = self._specs(tile, f, a, flat)
+        fix = lambda i: (0, 0)
+        dims = [l.tp.out_dim for l in self.layers]
+        y_specs = [pl.BlockSpec((tile * self.k, d), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) for d in dims]
+        dagg_spec = [pl.BlockSpec((tile, f), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = (
+            jax.ShapeDtypeStruct(hs.shape, hs.dtype),
+            jax.ShapeDtypeStruct(hr.shape, hr.dtype),
+        ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat)
+        out_specs = (
+            pl.BlockSpec((tile * self.k, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ) + tuple(
+            pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM) for w in flat
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=data_specs + w_specs + y_specs + dagg_spec,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=_COMPILER_PARAMS,
+        )(hs, hr, geo2, *flat, *ys, d_agg)
+        dhs, dhr = outs[0], outs[1]
+        dw_flat = [d.astype(w.dtype) for d, w in zip(outs[2:], flat)]
         d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
         return d_params, dhs, dhr
 

@@ -119,8 +119,13 @@ class SEGNNLayer:
         edge_chunks: int = 1,
         remat_kernel: bool = False,
         pack: int = 1,
+        residual_bwd: bool = True,
     ) -> None:
         self.edge_chunks = max(1, edge_chunks)
+        # residual_bwd: the generic fused kernel saves pre-gate layer
+        # intermediates in its forward and runs a hand-structured backward
+        # instead of an in-kernel forward replay (fused_message_generic.py)
+        self.residual_bwd = residual_bwd
         # pack: edge slots per register row in the lmax=1 fused kernel (v3
         # lane packing, kernels/fused_message.py) — silently ignored when K
         # is not a multiple of it, so callers can set a preference once
@@ -601,8 +606,13 @@ class SEGNNLayer:
         npad = -(-n // tile) * tile
         key = (k, npad)
         if key not in self._generic_kernels:
+            # remat_kernel (the 1M-point HBM-fit mode) recomputes the kernel
+            # forward at backward time anyway — saving pre-gate residuals
+            # there would only add the [E, D] HBM traffic/footprint the mode
+            # exists to avoid, so the replay backward stays in force
             self._generic_kernels[key] = FusedMessageGeneric(
-                self.message_layers, k, tile=tile, bwd_tile=bwd
+                self.message_layers, k, tile=tile, bwd_tile=bwd,
+                residual_bwd=self.residual_bwd and not self.remat_kernel,
             )
         kern = self._generic_kernels[key]
 
@@ -675,6 +685,7 @@ class SEGNN:
         edge_chunks: int = 1,
         remat_kernel: bool = False,
         pack: int = 1,
+        residual_bwd: bool = True,
     ) -> None:
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
@@ -700,6 +711,7 @@ class SEGNN:
                 self.hidden_irreps, self.attr_irreps, act=act, remat=remat,
                 layout=layout, use_pallas=use_pallas, edge_chunks=edge_chunks,
                 remat_kernel=remat_kernel, pack=pack,
+                residual_bwd=residual_bwd,
             )
             for _ in range(num_layers)
         ]

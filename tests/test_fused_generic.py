@@ -88,6 +88,49 @@ def test_generic_respects_mask():
     np.testing.assert_allclose(pal, ref, atol=2e-5)
 
 
+def test_residual_bwd_matches_recompute_bwd():
+    """The residual-saving backward (saved pre-gate TP outputs, hand-
+    structured transpose) must reproduce the in-kernel-jax.vjp recompute
+    backward exactly — same kernel, same operands, both modes."""
+    from scalable_e3_gnn_tpu.kernels.fused_message_generic import (
+        FusedMessageGeneric)
+
+    m_ref, m_pal = _models()
+    layer = m_pal.layers[0]
+    g = _graph(128, seed=4)
+    n, k = g.senders.shape
+    params = m_pal.init(jax.random.key(3))
+    lp = params["layer_0"]
+    attrs = m_pal.compute_attributes_dense(g)
+    edge_geo = attrs[3]
+    f = m_pal.hidden_irreps.dim
+    h = jax.random.normal(jax.random.key(4), (n, f), jnp.float32)
+    hs = jnp.take(h, g.senders, axis=0).reshape(n * k, f)
+    geo2 = edge_geo.reshape(n, -1)
+    ptuple = (lp["msg_0"], lp["msg_1"])
+
+    kern_res = FusedMessageGeneric(layer.message_layers, k, tile=8,
+                                   bwd_tile=8, residual_bwd=True)
+    kern_rec = FusedMessageGeneric(layer.message_layers, k, tile=8,
+                                   bwd_tile=8, residual_bwd=False)
+    assert kern_res.residual_bwd and not kern_rec.residual_bwd
+
+    def loss(kern):
+        return lambda args: (
+            kern.geo_call(args[0], args[1], args[2], geo2) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        o_res = np.array(kern_res.geo_call(ptuple, hs, h, geo2))
+        o_rec = np.array(kern_rec.geo_call(ptuple, hs, h, geo2))
+        g_res = jax.grad(loss(kern_res))((ptuple, hs, h))
+        g_rec = jax.grad(loss(kern_rec))((ptuple, hs, h))
+    np.testing.assert_allclose(o_res, o_rec, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_res),
+                    jax.tree_util.tree_leaves(g_rec)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                                   rtol=1e-4)
+
+
 # NOTE: remat_kernel=True (the 1M-point memory mode) cannot be exercised in
 # interpret mode — jax.checkpoint rejects the ordered-IO effects interpret-
 # mode pallas_call carries.  Its numerical parity is jax.checkpoint's
