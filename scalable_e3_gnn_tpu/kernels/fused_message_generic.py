@@ -133,10 +133,33 @@ class FusedMessageGeneric:
 
     # ---- tile computation (shared by fwd and the in-kernel vjp) ----
 
+    def _layer_tp(self, layer, p, m, attr):
+        """One message layer's TP, z-concat-free when folded.
+
+        The folded-GEMM product ``outer(m, attr) @ W'`` is evaluated as
+        ``Σ_c (m · attr_c) @ W'_c`` — C2 narrow GEMMs with fp32 accumulation
+        instead of one wide GEMM over a materialized [R, C2·C1] z.  Inside
+        the kernel the z concat build was ~16 ms/layer of the 53 ms forward
+        (tools/exp_generic_breakdown.py: gemm1 36.5 vs gemm1_nz 28.8 ms at
+        256k/K=16 lmax=2) — the MXU work is ~1 ms either way, the concat
+        materialization was the cost."""
+        if "w_folded" not in p:
+            return layer.tp(p, m, attr)
+        c1, c2 = layer.tp.in1_dim, layer.tp.in2_dim
+        wf = p["w_folded"].astype(m.dtype)
+        acc = None
+        for c in range(c2):
+            t = jnp.dot(m * attr[:, c : c + 1], wf[c * c1 : (c + 1) * c1],
+                        preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        return acc.astype(m.dtype)
+
     def _message(self, params_tuple, hs_t, hr_rep, d2, attr, maskf, E):
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(hs_t.dtype)], axis=-1)
         for layer, p in zip(self.layers, params_tuple):
-            m = layer(p, m, attr)
+            y = self._layer_tp(layer, p, m, attr)
+            m = layer.gate(y) if getattr(layer, "gate", None) is not None \
+                else y
         m = m * maskf
         return jnp.dot(E.T, m.astype(hs_t.dtype),
                        preferred_element_type=jnp.float32)
@@ -148,7 +171,7 @@ class FusedMessageGeneric:
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(hs_t.dtype)], axis=-1)
         ys = []
         for layer, p in zip(self.layers, params_tuple):
-            y = layer.tp(p, m, attr)
+            y = self._layer_tp(layer, p, m, attr)
             ys.append(y)
             m = layer.gate(y) if layer.gate is not None else y
         m = m * maskf
@@ -371,17 +394,24 @@ class FusedMessageGeneric:
                     dy = gvjp(dm)[0].astype(dt)
                 else:
                     dy = dm
+                # z-free transpose: per attr component c,
+                #   dW'_c = (m·attr_c)^T @ dy   and   dm += (dy @ W'_c^T)·attr_c
+                # — no [R, C2·C1] z or dz ever materializes (same win as the
+                # forward's _layer_tp form)
                 wf = wvals[i]["w_folded"].astype(dt)
                 c1, c2 = layer.tp.in1_dim, layer.tp.in2_dim
-                z = self._build_z(ms[i], attr_t, c2)
-                dws[i] = {"w_folded": jnp.dot(
-                    z.T, dy, preferred_element_type=jnp.float32)}
-                dz = jnp.dot(dy, wf.T, preferred_element_type=jnp.float32)
+                dwb = []
                 acc = None
                 for c in range(c2):
-                    t = (dz[:, c * c1 : (c + 1) * c1]
+                    mc = ms[i] * attr_t[:, c : c + 1]
+                    dwb.append(jnp.dot(
+                        mc.T, dy, preferred_element_type=jnp.float32))
+                    t = (jnp.dot(dy, wf[c * c1 : (c + 1) * c1].T,
+                                 preferred_element_type=jnp.float32)
                          * attr_t[:, c : c + 1].astype(jnp.float32))
                     acc = t if acc is None else acc + t
+                dws[i] = {"w_folded": jnp.concatenate(dwb, axis=0)
+                          if c2 > 1 else dwb[0]}
                 dm = acc.astype(dt)
             # dm == dm_0 over [hs ‖ hr_rep ‖ d2]
             dhs_ref[:] = dm[:, :f].astype(dhs_ref.dtype)

@@ -48,9 +48,19 @@ class StagedKernel(FusedMessageGeneric):
         dt = hs_t.dtype
 
         def out(m):
-            return jnp.dot(E.T, (m[:, :f] * maskf).astype(dt),
+            # lane-sum sink so DCE cannot drop any computed column
+            red = m[:, :f] + jnp.sum(
+                m.astype(jnp.float32), axis=-1, keepdims=True).astype(dt)
+            return jnp.dot(E.T, (red * maskf).astype(dt),
                            preferred_element_type=jnp.float32)
 
+        if self.stage == "full_nz":  # production path (z-free _layer_tp)
+            return super()._message(params_tuple, hs_t, hr_rep, d2, attr,
+                                    maskf, E)
+        if self.stage == "null":  # constants: grid + DMA + K-sum only
+            r = hr_rep.shape[0]
+            return jnp.dot(E.T, jnp.ones((r, f), dt),
+                           preferred_element_type=jnp.float32)
         if self.stage == "expand":  # geo rows + E-expands only
             return out(hr_rep + d2.astype(dt) + attr[:, :1])
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(dt)], axis=-1)
@@ -58,25 +68,24 @@ class StagedKernel(FusedMessageGeneric):
             return out(m)
         layer0, p0 = self.layers[0], params_tuple[0]
         c1, c2 = layer0.tp.in1_dim, layer0.tp.in2_dim
+        wf = p0["w_folded"].astype(dt)
+        if self.stage == "gemm1_nz":  # z-free formulation of layer 1
+            acc = None
+            for c in range(c2):
+                t = jnp.dot((m * attr[:, c : c + 1]),
+                            wf[c * c1 : (c + 1) * c1],
+                            preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+            return out(acc.astype(dt))
         z = self._build_z(m, attr, c2)
         if self.stage == "z1":
             return out(z)
-        wf = p0["w_folded"].astype(dt)
         y = jnp.dot(z, wf, preferred_element_type=jnp.float32).astype(dt)
         if self.stage == "gemm1":
             return out(y)
         m = layer0.gate(y) if layer0.gate is not None else y
         if self.stage == "gate1":
             return out(m)
-        if self.stage == "gemm1_nz":  # z-free formulation of layer 1
-            m0 = jnp.concatenate([hs_t, hr_rep, d2.astype(dt)], axis=-1)
-            acc = None
-            for c in range(c2):
-                t = jnp.dot((m0 * attr[:, c : c + 1]),
-                            wf[c * c1 : (c + 1) * c1],
-                            preferred_element_type=jnp.float32)
-                acc = t if acc is None else acc + t
-            return out(acc.astype(dt))
         for layer, p in zip(self.layers[1:], params_tuple[1:]):
             m = layer(p, m, attr)
         m = m * maskf
@@ -136,11 +145,15 @@ def main():
     geo2 = edge_geo.reshape(n, -1)
     ptuple = tuple(lp[f"msg_{i}"] for i in range(2))
 
-    for stage in ("expand", "concat", "z1", "gemm1", "gemm1_nz", "gate1",
-                  "full"):
-        kern = StagedKernel(layer.message_layers, k, tile=64, bwd_tile=64,
+    import os
+    stages = os.environ.get(
+        "STAGES",
+        "null,expand,concat,z1,gemm1,gemm1_nz,gate1,full,full_nz").split(",")
+    tile = int(os.environ.get("TILE", "64"))
+    for stage in stages:
+        kern = StagedKernel(layer.message_layers, k, tile=tile, bwd_tile=64,
                             stage=stage)
-        timed(f"fwd[{stage}]", jax.jit(
+        timed(f"fwd[{stage}] t{tile}", jax.jit(
             lambda hs_, kern=kern: kern.geo_call(ptuple, hs_, h, geo2)), hs)
 
 
