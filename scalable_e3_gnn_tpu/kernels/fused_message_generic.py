@@ -154,17 +154,33 @@ class FusedMessageGeneric:
             acc = t if acc is None else acc + t
         return acc.astype(m.dtype)
 
-    def _message(self, params_tuple, hs_t, hr_rep, d2, attr, maskf, E):
+    def _rep_rows(self, x):
+        """[T, F] -> [T*K, F] node-row repeat per edge slot.
+
+        broadcast + leading-dims collapse — lowers in Mosaic ([T, K, F] ->
+        [T*K, F] keeps the lane dim) and replaces the dense E @ x expand
+        matmul, whose T*R*F MACs per tile were most of the ~11 ms "machinery
+        floor" (tools/exp_generic_breakdown.py null/null_rs variants)."""
+        t, f = x.shape
+        return jnp.broadcast_to(
+            x[:, None, :], (t, self.k, f)).reshape(t * self.k, f)
+
+    def _ksum(self, m):
+        """[T*K, F] -> [T, F] per-node slot sum (fp32), transpose of
+        ``_rep_rows`` — replaces the E.T @ m group-sum matmul."""
+        r, f = m.shape
+        return m.astype(jnp.float32).reshape(r // self.k, self.k, f).sum(
+            axis=1)
+
+    def _message(self, params_tuple, hs_t, hr_rep, d2, attr, maskf):
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(hs_t.dtype)], axis=-1)
         for layer, p in zip(self.layers, params_tuple):
             y = self._layer_tp(layer, p, m, attr)
             m = layer.gate(y) if getattr(layer, "gate", None) is not None \
                 else y
-        m = m * maskf
-        return jnp.dot(E.T, m.astype(hs_t.dtype),
-                       preferred_element_type=jnp.float32)
+        return self._ksum(m * maskf)
 
-    def _message_stages(self, params_tuple, hs_t, hr_rep, d2, attr, maskf, E):
+    def _message_stages(self, params_tuple, hs_t, hr_rep, d2, attr, maskf):
         """Same as ``_message`` but also returns the pre-gate TP outputs
         ``y_i`` per layer — the residuals the hand-structured backward needs
         (everything else is reconstructible with cheap elementwise work)."""
@@ -174,10 +190,7 @@ class FusedMessageGeneric:
             y = self._layer_tp(layer, p, m, attr)
             ys.append(y)
             m = layer.gate(y) if layer.gate is not None else y
-        m = m * maskf
-        out = jnp.dot(E.T, m.astype(hs_t.dtype),
-                      preferred_element_type=jnp.float32)
-        return out, ys
+        return self._ksum(m * maskf), ys
 
     @staticmethod
     def _build_z(m, attr, c2):
@@ -201,9 +214,17 @@ class FusedMessageGeneric:
         return data, ws
 
     def _geo_rows(self, geo_ref, tile, a):
-        """[T, K*(a+2)] node-major geometry -> (d2, attr, mask) [R, ·]."""
-        g = _expand_geo(geo_ref[:], tile, self.k, a + 2)
-        return g[:, a : a + 1], g[:, :a], g[:, a + 1 : a + 2]
+        """[T, K*(a+2)] node-major geometry -> (d2, attr, mask) [R, ·].
+
+        K lane slices stacked on a new middle axis and collapsed — the
+        lane->sublane move Mosaic cannot do as one reshape is legal as
+        slice+stack; this replaces the E-expand + slot-mask + group-sum
+        matmul machinery (_expand_geo, kept for the XLA-path callers)."""
+        g = geo_ref[:]
+        G = a + 2
+        parts = [g[:, k * G : (k + 1) * G] for k in range(self.k)]
+        rows = jnp.stack(parts, axis=1).reshape(tile * self.k, G)
+        return rows[:, a : a + 1], rows[:, :a], rows[:, a + 1 : a + 2]
 
     def _fwd_call(self, params_tuple, hs, hr, geo2, save: bool = False):
         n, f = hr.shape
@@ -220,21 +241,18 @@ class FusedMessageGeneric:
             y_refs = refs[4 + len(flat) :]
             d2_t, attr_t, mask_t = self._geo_rows(geo_ref, tile, a)
             hs_t = hs_ref[:]
-            dt = hs_t.dtype
-            E = _expand_matrix(tile, self.k, dt)
-            hr_rep = jnp.dot(E, hr_ref[:], preferred_element_type=jnp.float32
-                             ).astype(dt)
+            hr_rep = self._rep_rows(hr_ref[:])
             wvals = jax.tree_util.tree_unflatten(
                 treedef, [r[:] for r in w_refs]
             )
             if save:
                 out, ys = self._message_stages(
-                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, E)
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t)
                 for r, y in zip(y_refs, ys):
                     r[:] = y.astype(r.dtype)
             else:
                 out = self._message(
-                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, E)
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t)
             out_ref[:] = out.astype(out_ref.dtype)
 
         data_specs, w_specs = self._specs(tile, f, a, flat)

@@ -61,6 +61,18 @@ class StagedKernel(FusedMessageGeneric):
             r = hr_rep.shape[0]
             return jnp.dot(E.T, jnp.ones((r, f), dt),
                            preferred_element_type=jnp.float32)
+        if self.stage == "null_rs":  # K-sum via [T,K,F] reshape, no E matmul
+            r = hr_rep.shape[0]
+            t = r // self.k
+            s = (hs_t * maskf).reshape(t, self.k, f).sum(axis=1)
+            return s.astype(jnp.float32)
+        if self.stage == "expand_rs":  # hr broadcast-reshape + geo bcast
+            r = hr_rep.shape[0]
+            t = r // self.k
+            hr2 = jnp.broadcast_to(
+                hr_rep.reshape(t, self.k, f)[:, :1, :], (t, self.k, f)
+            ).reshape(r, f)
+            return out(hr2 + d2.astype(dt) + attr[:, :1])
         if self.stage == "expand":  # geo rows + E-expands only
             return out(hr_rep + d2.astype(dt) + attr[:, :1])
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(dt)], axis=-1)
