@@ -105,6 +105,121 @@ def measure(model, graph, tree, feats, tgt, num_parts, iters, bf16, devices):
     return dt, float(m["loss"])
 
 
+def config5_single_chip(iters: int, chunks: int, points: int) -> None:
+    """Config 5 (10M-point cosmology cloud, lmax=2, K=16): ONE-CHIP train
+    step via node-block streaming — the honest single-chip measurement the
+    multi-host spec row builds on (no >=2-host hardware in this sandbox).
+
+    HBM budget at 10M/F=90/bf16 on a 15.75 GB v5e (docs/PERF.md "config 5"):
+    static graph+attrs ~5.9 GB, remat_layers boundaries 4x1.8 GB, chunked
+    per-edge transients ~[N/chunks, K, F].  edge_chunks streams the message
+    pass; remat_layers checkpoints each layer; attrs are computed chunked in
+    bf16 (the one-shot fp32 [N, K, 9] sh would transiently need ~12 GB).
+    """
+    from scalable_e3_gnn_tpu.graph.radius import (
+        radius_graph_cell_segments,
+        search_level_for_radius,
+    )
+    from scalable_e3_gnn_tpu.train.pipeline import make_train_step, mse_loss
+
+    lo, hi = (0.0,) * 3, (1.0,) * 3
+    k = 16
+    rng = np.random.default_rng(0)
+    pts = rng.random((points, 3)).astype(np.float32)
+    r = 0.04 * (100_000 / points) ** (1 / 3)
+    levels = max(4, search_level_for_radius(r, lo, hi) + 1)
+    t0 = time.time()
+    tree = jax.jit(lambda p: build_octree(p, lo, hi, num_levels=levels))(
+        jnp.asarray(pts))
+    cap = suggest_cell_capacity(tree, r, lo, hi)
+    e = radius_graph_cell_segments(
+        tree, r, lo, hi, max_neighbors=k, cell_capacity=cap,
+        num_segments=max(points // 1_000_000, 1), selection="approx",
+    )
+    jax.block_until_ready(e.senders)
+    build_s = time.time() - t0
+    feats = rng.standard_normal((points, 5)).astype(np.float32)
+    graph = DenseEdgeGraph.from_radius_edges(
+        jnp.asarray(feats), tree.points, e, symmetrize=False)
+    n_edges = int(np.asarray(graph.edge_mask).sum())
+
+    model = SEGNN(
+        Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"), Irreps("1x1o"),
+        lmax_attr=2, num_layers=4, remat=True, layout="cm", use_pallas=True,
+        edge_chunks=chunks, remat_kernel=True, remat_layers=True,
+    )
+    params = model.init(jax.random.key(0))
+
+    # chunked bf16 attribute build: lax.map over node slabs (legacy 3-tuple —
+    # the chunked message path rebuilds per-chunk geometry, so the [N, K, 11]
+    # edge_geo stream is never needed)
+    bf = jnp.bfloat16
+    nchunk = max(points // 1_000_000, 1)
+    c = points // nchunk
+
+    def attr_chunk(i):
+        sl = i * c
+        d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
+        sub = graph._replace(
+            positions=graph.positions, nodes=d(graph.nodes),
+            senders=d(graph.senders), edge_mask=d(graph.edge_mask),
+            node_mask=d(graph.node_mask), node_graph=d(graph.node_graph),
+        )
+        rel = graph.positions[sub.senders] - d(graph.positions)[:, None, :]
+        from scalable_e3_gnn_tpu.core.spherical import spherical_harmonics
+
+        dist2 = jnp.sum(rel * rel, axis=-1)
+        ea = spherical_harmonics(2, rel)
+        ea = jnp.where(sub.edge_mask[..., None], ea, 0.0)
+        cnt = jnp.maximum(sub.edge_mask.sum(axis=1), 1)
+        na = ea.sum(axis=1) / cnt[:, None].astype(ea.dtype)
+        na = na.at[..., 0].set(1.0)
+        return ea.astype(bf), na.astype(bf), dist2.astype(bf)
+
+    ea, na, d2 = jax.jit(lambda: jax.lax.map(attr_chunk, jnp.arange(nchunk)))()
+    attrs = (ea.reshape(points, k, -1), na.reshape(points, -1),
+             d2.reshape(points, k))
+    jax.block_until_ready(attrs)
+    graph = graph._replace(nodes=graph.nodes.astype(bf))
+    target = jnp.asarray(rng.standard_normal((points, 3)), jnp.float32)
+
+    def loss_fn(p, g, a, t):
+        p = jax.tree.map(lambda x: x.astype(bf), p)
+        return mse_loss(model(p, g, attrs=a).astype(jnp.float32), t)
+
+    opt = optax.adam(1e-3)
+    step = make_train_step(loss_fn, opt, donate=False)
+    st = make_train_state(params, opt)
+    (st, m), step_s = _timed_chain(lambda s: step(s, graph, attrs, target),
+                                   st, iters=iters)
+    print(json.dumps({
+        "metric": "config5_step_ms",
+        "value": round(step_s * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(n_edges / step_s / 1e6, 3),
+        "extras": {
+            "n_points": points, "n_edges": n_edges, "k": k,
+            "edges_per_s": round(n_edges / step_s, 1),
+            "graph_build_s": round(build_s, 2),
+            "loss": float(m["loss"]),
+            "chunks": chunks,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+def _timed_chain(fn, state, iters):
+    """Chained timing through the axon tunnel (see bench.py _timed)."""
+    out = fn(state)
+    jax.block_until_ready(out[1]["loss"])
+    probe = float(out[1]["loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(out[0])
+    jax.block_until_ready(out[1]["loss"])
+    return out, (time.time() - t0) / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=50_000)
@@ -115,7 +230,15 @@ def main():
     ap.add_argument("--no-bf16", action="store_true")
     ap.add_argument("--no-pallas", action="store_true",
                     help="CPU farms cannot run Mosaic kernels")
+    ap.add_argument("--config5", action="store_true",
+                    help="single-chip 10M-point lmax=2 train step")
+    ap.add_argument("--chunks", type=int, default=25)
     args = ap.parse_args()
+
+    if args.config5:
+        pts = args.points if args.points != 50_000 else 10_000_000
+        config5_single_chip(args.iters, args.chunks, pts)
+        return
 
     init_distributed()
     devices = jax.devices()

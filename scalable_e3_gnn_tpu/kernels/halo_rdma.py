@@ -63,8 +63,8 @@ def _fwd(x, axis_name, num_devices, collective_id, interpret):
     out = pl.pallas_call(
         functools.partial(_ring_kernel, num_devices, axis_name),
         out_shape=jax.ShapeDtypeStruct((num_devices, h, f), x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

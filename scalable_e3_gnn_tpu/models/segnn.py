@@ -27,7 +27,8 @@ from ..core.spherical import spherical_harmonics
 from ..graph.container import DenseEdgeGraph, SteerableGraph
 from ..ops.gate import Gate
 from ..ops.gather_scatter import (gather, segment_mean, segment_sum,
-                                  take_dense_rev, take_dense_symmetric)
+                                  take_dense_rev, take_dense_symmetric,
+                                  take_dense_symmetric_km)
 from ..ops.linear import O3Linear
 from ..ops.tensor_product import L1TensorProduct, TensorProduct
 
@@ -593,7 +594,12 @@ class SEGNNLayer:
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2,
         edge_mask, reverse_slot=None, edge_geo=None, hs=None,
     ):
-        """Dispatch the message MLP + aggregation to the generic fused kernel."""
+        """Dispatch the message MLP + aggregation to the generic fused kernel.
+
+        The kernel's sender operand is slot-major [K, N, F] (see
+        fused_message_generic.py) — gathered directly in that order
+        (``h[senders.T]``); a pre-gathered node-major ``hs`` [N, K, F]
+        (the distributed take_dense_rev path) is transposed here."""
         from ..kernels.fused_message_generic import FusedMessageGeneric
 
         n, k = senders.shape
@@ -618,15 +624,19 @@ class SEGNNLayer:
 
         if hs is None:
             if reverse_slot is not None and h_ext is h_local:
-                hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
+                hs = take_dense_symmetric_km(
+                    h_ext, senders, reverse_slot, edge_mask)
             else:
-                hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
+                hs = jnp.take(h_ext, senders.T, axis=0, mode="fill",
+                              fill_value=0)
+        else:  # pre-gathered node-major [N, K, F] (take_dense_rev path)
+            hs = jnp.swapaxes(hs, 0, 1)
         dt = h_local.dtype
-        hs = hs.reshape(n * k, f)
         geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
         h_p = h_local
         if npad != n:
-            hs = jnp.concatenate([hs, jnp.zeros(((npad - n) * k, f), dt)])
+            hs = jnp.concatenate(
+                [hs, jnp.zeros((k, npad - n, f), dt)], axis=1)
             geo2 = jnp.concatenate(
                 [geo2, jnp.zeros((npad - n, geo2.shape[-1]), geo2.dtype)]
             )
@@ -686,7 +696,14 @@ class SEGNN:
         remat_kernel: bool = False,
         pack: int = 1,
         residual_bwd: bool = True,
+        remat_layers: bool = False,
     ) -> None:
+        # remat_layers: jax.checkpoint each whole message-passing layer, so
+        # the backward retains only the [N, F] layer-boundary activations
+        # (num_layers of them) — the config-5 single-chip HBM enabler: at
+        # 10M points/F=90/bf16 each boundary is 1.8 GB, while the un-remat
+        # per-layer agg/update intermediates would add ~2x that again.
+        self.remat_layers = remat_layers
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
         self.output_irreps = Irreps(output_irreps)
@@ -804,13 +821,17 @@ class SEGNN:
                 graph.gather_tile,
             )
         for i, layer in enumerate(self.layers):
-            h = layer.apply_dense(
-                params[f"layer_{i}"], h, h, graph.senders, edge_attr, node_attr,
-                dist2, graph.edge_mask, graph.node_mask,
-                reverse_slot=graph.reverse_slot,
-                gather=gather,
-                edge_geo=edge_geo,
-            )
+            def body(lp, h_, layer=layer):
+                return layer.apply_dense(
+                    lp, h_, h_, graph.senders, edge_attr, node_attr,
+                    dist2, graph.edge_mask, graph.node_mask,
+                    reverse_slot=graph.reverse_slot,
+                    gather=gather,
+                    edge_geo=edge_geo,
+                )
+            if self.remat_layers:
+                body = jax.checkpoint(body)
+            h = body(params[f"layer_{i}"], h)
         h = self.pre_head(params["pre_head"], h, node_attr)
         out = self.head(params["head"], h)
         if self.task == "graph":

@@ -33,6 +33,7 @@ __all__ = [
     "spmm",
     "sddmm",
     "take_dense_symmetric",
+    "take_dense_symmetric_km",
     "take_dense_rev",
 ]
 
@@ -168,6 +169,54 @@ def _tds_bwd(res, g):
 
 
 take_dense_symmetric.defvjp(_tds_fwd, _tds_bwd)
+
+
+@jax.custom_vjp
+def take_dense_symmetric_km(
+    h: jnp.ndarray,  # [N, F]
+    senders: jnp.ndarray,  # [N, K]
+    reverse_slot: jnp.ndarray,  # [N, K] flat NODE-major slot of the reverse edge
+    mask: jnp.ndarray,  # [N, K] mutual-edge validity
+) -> jnp.ndarray:
+    """Slot-major ``take_dense_symmetric``: returns [K, N, F] with
+    ``out[k, t] = h[senders[t, k]]`` — the operand layout the generic fused
+    kernel wants (its in-kernel row assembly is K leading-dim reads + one
+    sublane concat; see kernels/fused_message_generic.py).  Gathering
+    directly in this order avoids an [E, F] transpose per layer per
+    direction.
+
+    The reverse table stays node-major flat (``t*K + k``); the VJP remaps
+    it to the cotangent's slot-major flat space (``k*N + t``) with two int
+    ops — padding slots (``>= N*K``) map out of range and read 0.
+    """
+    return jnp.take(h, senders.T, axis=0, mode="fill", fill_value=0)
+
+
+def _tds_km_fwd(h, senders, reverse_slot, mask):
+    return take_dense_symmetric_km(h, senders, reverse_slot, mask), (
+        senders,
+        reverse_slot,
+        mask,
+    )
+
+
+def _tds_km_bwd(res, g):
+    senders, reverse_slot, mask = res
+    n, k = senders.shape
+    f = g.shape[-1]
+    gf = g.reshape(k * n, f)
+    rs = reverse_slot
+    # node-major flat slot t*K+k  ->  slot-major flat k*N+t; pad stays oob
+    rs_km = jnp.where(rs < n * k, (rs % k) * n + rs // k, k * n)
+    picked = jnp.take(
+        gf, rs_km.reshape(-1), axis=0, mode="fill", fill_value=0
+    ).reshape(n, k, f)
+    d_h = picked.sum(axis=1)
+    z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_h, z(senders), z(reverse_slot), z(mask)
+
+
+take_dense_symmetric_km.defvjp(_tds_km_fwd, _tds_km_bwd)
 
 
 @jax.custom_vjp

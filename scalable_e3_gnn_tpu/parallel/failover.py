@@ -85,6 +85,20 @@ class Heartbeat:
             )
         os.replace(tmp, self.path)
 
+    def done(self) -> None:
+        """Clean-completion sentinel: ``<dir>/done_<pid>``.
+
+        Exit codes are lossy evidence — if anything else in the launcher
+        process reaps children (a library SIGCHLD handler, an ECHILD race),
+        ``Popen.poll()`` silently reports 0 for a crashed worker (CPython
+        returns 0 on ECHILD), and codes get mangled across SSH/container
+        layers on real clusters.  A worker that writes ``done()`` as its
+        last act gives the Supervisor positive evidence of clean completion
+        (``require_done=True``)."""
+        with open(os.path.join(self.directory,
+                               f"done_{self.process_id}"), "w") as f:
+            f.write("ok")
+
 
 def read_heartbeats(directory: str) -> Dict[int, dict]:
     """{process_id: last beat dict} for every beat file present."""
@@ -205,6 +219,7 @@ class Supervisor:
         max_restarts: int = 2,
         poll_s: float = 0.2,
         wall_timeout_s: float = 600.0,
+        require_done: bool = False,
     ) -> None:
         self.launch = launch
         self.num_processes = num_processes
@@ -213,14 +228,20 @@ class Supervisor:
         self.max_restarts = max_restarts
         self.poll_s = poll_s
         self.wall_timeout_s = wall_timeout_s
+        # require_done: workers call Heartbeat.done() as their last act; a
+        # zero exit WITHOUT the sentinel counts as failure.  Exit codes are
+        # lossy (ECHILD -> Popen.poll()==0 if anything else in this process
+        # reaps children; mangled codes across container/SSH layers).
+        self.require_done = require_done
 
     def _start_world(self, incarnation: int) -> List[subprocess.Popen]:
-        # clear stale beats from the previous incarnation so a dead process's
-        # old beat can't look fresh
+        # clear stale beats/sentinels from the previous incarnation so a
+        # dead process's old beat can't look fresh
         for pid in range(self.num_processes):
-            p = os.path.join(self.heartbeat_dir, f"hb_{pid}.json")
-            if os.path.exists(p):
-                os.remove(p)
+            for name in (f"hb_{pid}.json", f"done_{pid}"):
+                p = os.path.join(self.heartbeat_dir, name)
+                if os.path.exists(p):
+                    os.remove(p)
         return [self.launch(pid, incarnation) for pid in range(self.num_processes)]
 
     @staticmethod
@@ -252,13 +273,27 @@ class Supervisor:
                     failed = "exit codes " + str(codes)
                     break
                 if all(c == 0 for c in codes):
+                    missing = [
+                        pid for pid in range(self.num_processes)
+                        if not os.path.exists(os.path.join(
+                            self.heartbeat_dir, f"done_{pid}"))
+                    ] if self.require_done else []
+                    if missing:
+                        failed = (f"exit 0 without done sentinel {missing} "
+                                  "(crash with reaped/lost exit code)")
+                        break
                     events.append(f"incarnation {incarnation}: clean exit")
                     return SupervisorReport(True, incarnation, "", events)
                 # heartbeat staleness: only meaningful for processes that
                 # have beaten at least once (startup/compile is not failure)
-                stale = stale_processes(
+                # AND are still running — a worker that already exited 0
+                # stops beating legitimately while stragglers finish
+                # (ADVICE.md r2: spurious restart-the-world flake)
+                running = {i for i, p in enumerate(procs)
+                           if p.poll() is None}
+                stale = [i for i in stale_processes(
                     self.heartbeat_dir, self.num_processes,
-                    self.heartbeat_timeout_s)
+                    self.heartbeat_timeout_s) if i in running]
                 if stale:
                     failed = f"stale heartbeats {stale}"
                     break

@@ -140,6 +140,7 @@ def _local_attrs_dense(model: SEGNN, shard):
 def _local_forward_dense(
     model: SEGNN, params, shard, axis_name: str, attrs=None,
     backend: str = "xla", num_devices=None, interpret: bool = False,
+    _serialize_exchange: bool = False,
 ):
     """Per-device dense-K SEGNN forward on one partition (inside shard_map).
 
@@ -164,6 +165,10 @@ def _local_forward_dense(
             h, boundary_idx, halo_map, axis_name,
             backend=backend, num_devices=num_devices, interpret=interpret,
         )
+        if _serialize_exchange:
+            # A/B instrumentation (tools/exp_overlap_evidence.py): tie the
+            # interior input to the exchanged halo so XLA cannot overlap
+            h_ext, h = jax.lax.optimization_barrier((h_ext, h))
         h = layer.apply_dense_split(
             params[f"layer_{i}"], h, h_ext,
             (s_int, attr_i, d2_i, m_int, rev_int),

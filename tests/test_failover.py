@@ -82,11 +82,16 @@ _CHEAP_WORKER = textwrap.dedent(
         if os.environ.get("E3GNN_HANG") == "1" and incarnation == 0 \\
                 and pid == 1 and s == 4:
             time.sleep(3600)
+        if os.environ.get("E3GNN_EXIT0_AT_STEP") == str(s) \\
+                and incarnation == 0 \\
+                and pid == int(os.environ.get("E3GNN_DIE_PROCESS", "0")):
+            os._exit(0)  # crash whose exit code reads 0 (reaped/lost)
         inject_failure(s)
         time.sleep(0.02)
     if pid == 0:
         with open(os.path.join(work, "final.json"), "w") as f:
             json.dump(v, f)
+    hb.done()
     """
 )
 
@@ -110,7 +115,7 @@ def _run_cheap_world(tmp_path, extra_env, heartbeat_timeout_s=60.0):
     sup = Supervisor(
         launch, num_processes=2, heartbeat_dir=os.path.join(work, "hb"),
         heartbeat_timeout_s=heartbeat_timeout_s, max_restarts=2,
-        poll_s=0.05, wall_timeout_s=120.0,
+        poll_s=0.05, wall_timeout_s=120.0, require_done=True,
     )
     return sup.run(), work
 
@@ -136,6 +141,19 @@ def test_supervisor_recovers_from_hang(tmp_path):
         tmp_path, {"E3GNN_HANG": "1"}, heartbeat_timeout_s=1.0)
     assert report.ok, report
     assert report.restarts == 1, report
+    with open(os.path.join(work, "final.json")) as f:
+        assert json.load(f) == _uninterrupted_chain()
+
+
+def test_supervisor_catches_lost_exit_code(tmp_path):
+    """require_done: a worker that exits 0 WITHOUT the done sentinel (the
+    observable of a crash whose exit code was reaped/lost — Popen.poll()
+    reports 0 on ECHILD) must trigger a restart, not a clean exit."""
+    report, work = _run_cheap_world(
+        tmp_path, {"E3GNN_EXIT0_AT_STEP": "4", "E3GNN_DIE_PROCESS": "1"})
+    assert report.ok, report
+    assert report.restarts == 1, report
+    assert "done sentinel" in report.events[1], report.events
     with open(os.path.join(work, "final.json")) as f:
         assert json.load(f) == _uninterrupted_chain()
 
@@ -215,6 +233,7 @@ _JAX_WORKER = textwrap.dedent(
         # next psum, which is the realistic lost-host failure mode
         inject_failure(s)
     print("FINAL " + " ".join(f"{v:.8f}" for v in np.asarray(w)), flush=True)
+    hb.done()
     """
 )
 
@@ -248,7 +267,7 @@ def test_kill_one_host_elastic_recovery(tmp_path):
     sup = Supervisor(
         launch, num_processes=2, heartbeat_dir=os.path.join(work, "hb"),
         heartbeat_timeout_s=120.0, max_restarts=2, poll_s=0.2,
-        wall_timeout_s=420.0,
+        wall_timeout_s=420.0, require_done=True,
     )
     report = sup.run()
     if not report.ok:

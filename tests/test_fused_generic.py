@@ -105,7 +105,9 @@ def test_residual_bwd_matches_recompute_bwd():
     edge_geo = attrs[3]
     f = m_pal.hidden_irreps.dim
     h = jax.random.normal(jax.random.key(4), (n, f), jnp.float32)
-    hs = jnp.take(h, g.senders, axis=0).reshape(n * k, f)
+    # slot-major [K, N, F] sender operand; fill mode zeroes padded slots
+    # (plain take would clamp/NaN them — ADVICE.md r2)
+    hs = jnp.take(h, g.senders.T, axis=0, mode="fill", fill_value=0)
     geo2 = edge_geo.reshape(n, -1)
     ptuple = (lp["msg_0"], lp["msg_1"])
 

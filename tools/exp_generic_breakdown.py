@@ -28,7 +28,6 @@ from scalable_e3_gnn_tpu.graph.octree import build_octree
 from scalable_e3_gnn_tpu.graph.radius import radius_graph_cell, suggest_cell_capacity
 from scalable_e3_gnn_tpu.kernels.fused_message_generic import (
     FusedMessageGeneric,
-    _expand_matrix,
 )
 from scalable_e3_gnn_tpu.models.segnn import SEGNN
 
@@ -43,7 +42,8 @@ class StagedKernel(FusedMessageGeneric):
         super().__init__(*a, **kw)
         self.residual_bwd = False
 
-    def _message(self, params_tuple, hs_t, hr_rep, d2, attr, maskf, E):
+    def _message(self, params_tuple, hs_t, hr_rep, d2, attr, maskf,
+                 ksum=None):
         f = hr_rep.shape[-1]
         dt = hs_t.dtype
 
@@ -51,29 +51,15 @@ class StagedKernel(FusedMessageGeneric):
             # lane-sum sink so DCE cannot drop any computed column
             red = m[:, :f] + jnp.sum(
                 m.astype(jnp.float32), axis=-1, keepdims=True).astype(dt)
-            return jnp.dot(E.T, (red * maskf).astype(dt),
-                           preferred_element_type=jnp.float32)
+            return self._ksum(red * maskf)
 
         if self.stage == "full_nz":  # production path (z-free _layer_tp)
             return super()._message(params_tuple, hs_t, hr_rep, d2, attr,
-                                    maskf, E)
+                                    maskf)
         if self.stage == "null":  # constants: grid + DMA + K-sum only
             r = hr_rep.shape[0]
-            return jnp.dot(E.T, jnp.ones((r, f), dt),
-                           preferred_element_type=jnp.float32)
-        if self.stage == "null_rs":  # K-sum via [T,K,F] reshape, no E matmul
-            r = hr_rep.shape[0]
-            t = r // self.k
-            s = (hs_t * maskf).reshape(t, self.k, f).sum(axis=1)
-            return s.astype(jnp.float32)
-        if self.stage == "expand_rs":  # hr broadcast-reshape + geo bcast
-            r = hr_rep.shape[0]
-            t = r // self.k
-            hr2 = jnp.broadcast_to(
-                hr_rep.reshape(t, self.k, f)[:, :1, :], (t, self.k, f)
-            ).reshape(r, f)
-            return out(hr2 + d2.astype(dt) + attr[:, :1])
-        if self.stage == "expand":  # geo rows + E-expands only
+            return self._ksum(jnp.ones((r, f), dt))
+        if self.stage == "expand":  # geo rows + repeats only
             return out(hr_rep + d2.astype(dt) + attr[:, :1])
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(dt)], axis=-1)
         if self.stage == "concat":
@@ -89,7 +75,8 @@ class StagedKernel(FusedMessageGeneric):
                             preferred_element_type=jnp.float32)
                 acc = t if acc is None else acc + t
             return out(acc.astype(dt))
-        z = self._build_z(m, attr, c2)
+        cols = [m * attr[:, c : c + 1] for c in range(c2)]
+        z = jnp.concatenate(cols, axis=-1) if c2 > 1 else cols[0]
         if self.stage == "z1":
             return out(z)
         y = jnp.dot(z, wf, preferred_element_type=jnp.float32).astype(dt)
@@ -100,8 +87,7 @@ class StagedKernel(FusedMessageGeneric):
             return out(m)
         for layer, p in zip(self.layers[1:], params_tuple[1:]):
             m = layer(p, m, attr)
-        m = m * maskf
-        return jnp.dot(E.T, m.astype(dt), preferred_element_type=jnp.float32)
+        return self._ksum(m * maskf)
 
 
 def timed(name, fn, x, iters=8):
@@ -152,15 +138,15 @@ def main():
 
     f = model.hidden_irreps.dim
     h = jax.random.normal(jax.random.key(1), (n, f), bf)
-    hs = jnp.take(h, g.senders, axis=0, mode="fill",
-                  fill_value=0).reshape(n * k, f)
+    hs = jnp.take(h, g.senders.T, axis=0, mode="fill",
+                  fill_value=0)  # [K, N, F]
     geo2 = edge_geo.reshape(n, -1)
     ptuple = tuple(lp[f"msg_{i}"] for i in range(2))
 
     import os
     stages = os.environ.get(
         "STAGES",
-        "null,expand,concat,z1,gemm1,gemm1_nz,gate1,full,full_nz").split(",")
+        "null,expand,concat,z1,gemm1,gemm1_nz,gate1,full_nz").split(",")
     tile = int(os.environ.get("TILE", "64"))
     for stage in stages:
         kern = StagedKernel(layer.message_layers, k, tile=tile, bwd_tile=64,

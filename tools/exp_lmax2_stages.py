@@ -86,7 +86,7 @@ def main():
 
     # 2. generic kernel alone (pre-gathered operands)
     kern = FusedMessageGeneric(layer.message_layers, k, tile=64, bwd_tile=64)
-    hs = take_dense_symmetric(h, g.senders, g.reverse_slot, g.edge_mask).reshape(n * k, f)
+    hs = jnp.take(h, g.senders.T, axis=0, mode="fill", fill_value=0)  # [K, N, F]
     geo2 = edge_geo.reshape(n, -1)
     ptuple = tuple(lp[f"msg_{i}"] for i in range(2))
 

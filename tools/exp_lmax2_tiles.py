@@ -69,17 +69,18 @@ def main():
                     self.message_layers, k, tile=tile, bwd_tile=bwd)
             kern = self._generic_kernels[key]
             if hs is None:
-                from scalable_e3_gnn_tpu.ops.gather_scatter import take_dense_symmetric
+                from scalable_e3_gnn_tpu.ops.gather_scatter import take_dense_symmetric_km
                 if reverse_slot is not None and h_ext is h_local:
-                    hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
+                    hs = take_dense_symmetric_km(h_ext, senders, reverse_slot, edge_mask)
                 else:
-                    hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
+                    hs = jnp.take(h_ext, senders.T, axis=0, mode="fill", fill_value=0)
+            else:
+                hs = jnp.swapaxes(hs, 0, 1)
             dt = h_local.dtype
-            hs = hs.reshape(nn * k, f)
             geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
             h_p = h_local
             if npad != nn:
-                hs = jnp.concatenate([hs, jnp.zeros(((npad - nn) * k, f), dt)])
+                hs = jnp.concatenate([hs, jnp.zeros((k, npad - nn, f), dt)], axis=1)
                 geo2 = jnp.concatenate(
                     [geo2, jnp.zeros((npad - nn, geo2.shape[-1]), geo2.dtype)])
                 h_p = jnp.concatenate(

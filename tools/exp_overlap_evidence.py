@@ -1,0 +1,145 @@
+"""Exchange/compute overlap: compiled-schedule + wall-clock A/B evidence.
+
+VERDICT r2 item 4: the structural dependency proof (tests/test_overlap_structure.py)
+shows the interior-block compute is independent of each layer's halo
+all_gather; this script adds two executable artifacts on an 8-device CPU mesh
+(the only multi-device surface in a 1-chip sandbox):
+
+(a) **Compiled-HLO schedule scan** — compile the dense distributed forward
+    and grep the optimized module for async collective pairs
+    (`all-gather-start`/`-done` or `collective-permute-start`), reporting how
+    many non-trivial compute ops (dots/convs/fusions) the scheduler placed
+    BETWEEN start and done.  >0 means the backend actually overlaps the
+    exchange with independent compute, not merely that it could.
+
+(b) **Wall-clock A/B** — the same step with the halo exchange artificially
+    serialized (an `optimization_barrier` forcing the interior block to wait
+    for the exchanged features) vs the production split step.  On CPU the
+    collective is a memcpy so the delta bounds scheduling overhead, not ICI
+    overlap; the interesting output is (a) plus the barrier's sign.
+
+Run:
+  env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/exp_overlap_evidence.py
+"""
+
+import re
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+sys.path.insert(0, ".")
+
+from scalable_e3_gnn_tpu.core.irreps import Irreps
+from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
+from scalable_e3_gnn_tpu.graph.octree import build_octree
+from scalable_e3_gnn_tpu.graph.radius import radius_graph_brute
+from scalable_e3_gnn_tpu.models.segnn import SEGNN
+from scalable_e3_gnn_tpu.parallel import halo as H
+from scalable_e3_gnn_tpu.parallel.partition import partition_graph_dense
+
+LO, HI = (-4.0,) * 3, (4.0,) * 3
+
+
+def build(n=4096, parts=8):
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tree = build_octree(jnp.asarray(pts), LO, HI, num_levels=5)
+    e = radius_graph_brute(tree.points, 0.35, max_neighbors=16)
+    feats = rng.standard_normal((n, 5)).astype(np.float32)
+    g = DenseEdgeGraph.from_radius_edges(jnp.asarray(feats), tree.points, e)
+    part = partition_graph_dense(
+        np.array(tree.points), feats, np.array(g.senders),
+        np.array(g.edge_mask), num_parts=parts,
+    )
+    return part
+
+
+def schedule_scan(hlo: str):
+    """Count compute ops scheduled between each async collective start/done."""
+    lines = hlo.splitlines()
+    starts = {}
+    report = []
+    compute = re.compile(r"= .*(fusion|dot|convolution|custom-call)\(")
+    pending = {}
+    for i, ln in enumerate(lines):
+        m = re.search(r"%?([\w.\-]*(?:all-gather|collective-permute|all-reduce)-start[\w.\-]*)\s*=", ln)
+        if m:
+            pending[m.group(1)] = [i, 0]
+            continue
+        if "-done" in ln and ("all-gather" in ln or "collective-permute" in ln
+                              or "all-reduce" in ln):
+            for k in list(pending):
+                base = k.replace("-start", "")
+                if base in ln or k in ln:
+                    report.append((k, pending[k][1]))
+                    del pending[k]
+                    break
+            continue
+        if compute.search(ln):
+            for k in pending:
+                pending[k][1] += 1
+    return report
+
+
+def main():
+    devices = jax.devices()
+    assert len(devices) >= 8 and devices[0].platform == "cpu", devices
+    mesh = Mesh(np.array(devices[:8]).reshape(8), ("graph",))
+    part = build()
+    model = SEGNN(Irreps("2x0e+1x1o"), Irreps("16x0e+8x1o"), Irreps("1x1o"),
+                  num_layers=4, layout="cm")
+    params = model.init(jax.random.key(0))
+    args = H.shard_partitioned_dense(part, mesh)
+    attrs = H.make_dist_geometry_dense(model, mesh)(args)
+
+    fwd = H.make_dist_forward_dense(model, mesh)
+    lowered = jax.jit(lambda p, a, at: fwd(p, a, at)).lower(
+        params, args, attrs)
+    hlo = lowered.compile().as_text()
+    rep = schedule_scan(hlo)
+    total_started = len(rep)
+    overlapped = [(k, c) for k, c in rep if c > 0]
+    print(f"# async collective pairs in compiled module: {total_started}")
+    for k, c in rep:
+        print(f"#   {k}: {c} compute ops scheduled inside start..done window")
+    print(f"# => {len(overlapped)}/{total_started} windows overlap compute")
+
+    # (b) wall-clock A/B: serialized variant — barrier ties the interior
+    # h_local input to the exchanged halo, forcing exchange-before-compute
+    orig = H._local_forward_dense
+
+    def serialized(model_, params_, shard, axis, **kw):
+        return orig(model_, params_, shard, axis, _serialize_exchange=True,
+                    **kw)
+
+    def timed(fn, *a, iters=20):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters
+
+    f_split = jax.jit(lambda p, a, at: fwd(p, a, at))
+    t_split = timed(f_split, params, args, attrs)
+    H._local_forward_dense = serialized
+    try:
+        fwd_ser = H.make_dist_forward_dense(model, mesh)
+        f_ser = jax.jit(lambda p, a, at: fwd_ser(p, a, at))
+        t_ser = timed(f_ser, params, args, attrs)
+    finally:
+        H._local_forward_dense = orig
+    print(f"# split step: {t_split*1e3:.2f} ms; serialized exchange: "
+          f"{t_ser*1e3:.2f} ms; delta {100*(t_ser/t_split-1):.1f}%")
+
+
+if __name__ == "__main__":
+    main()
