@@ -157,26 +157,29 @@ def config5_single_chip(iters: int, chunks: int, points: int) -> None:
     nchunk = max(points // 1_000_000, 1)
     c = points // nchunk
 
-    def attr_chunk(i):
-        sl = i * c
-        d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
-        sub = graph._replace(
-            positions=graph.positions, nodes=d(graph.nodes),
-            senders=d(graph.senders), edge_mask=d(graph.edge_mask),
-            node_mask=d(graph.node_mask), node_graph=d(graph.node_graph),
-        )
-        rel = graph.positions[sub.senders] - d(graph.positions)[:, None, :]
-        from scalable_e3_gnn_tpu.core.spherical import spherical_harmonics
+    from scalable_e3_gnn_tpu.core.spherical import spherical_harmonics
 
-        dist2 = jnp.sum(rel * rel, axis=-1)
-        ea = spherical_harmonics(2, rel)
-        ea = jnp.where(sub.edge_mask[..., None], ea, 0.0)
-        cnt = jnp.maximum(sub.edge_mask.sum(axis=1), 1)
-        na = ea.sum(axis=1) / cnt[:, None].astype(ea.dtype)
-        na = na.at[..., 0].set(1.0)
-        return ea.astype(bf), na.astype(bf), dist2.astype(bf)
+    def attrs_chunked(pos, snd, msk):
+        def attr_chunk(i):
+            sl = i * c
+            d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
+            sd, mk = d(snd), d(msk)
+            rel = pos[sd] - d(pos)[:, None, :]
+            dist2 = jnp.sum(rel * rel, axis=-1)
+            ea = spherical_harmonics(2, rel)
+            ea = jnp.where(mk[..., None], ea, 0.0)
+            cnt = jnp.maximum(mk.sum(axis=1), 1)
+            na = ea.sum(axis=1) / cnt[:, None].astype(ea.dtype)
+            na = na.at[..., 0].set(1.0)
+            return ea.astype(bf), na.astype(bf), dist2.astype(bf)
 
-    ea, na, d2 = jax.jit(lambda: jax.lax.map(attr_chunk, jnp.arange(nchunk)))()
+        return jax.lax.map(attr_chunk, jnp.arange(nchunk))
+
+    # arrays enter as arguments, NOT closure constants — constants embed in
+    # the serialized module and blow the remote-compile request body (HTTP
+    # 413 at 10M points)
+    ea, na, d2 = jax.jit(attrs_chunked)(
+        graph.positions, graph.senders, graph.edge_mask)
     attrs = (ea.reshape(points, k, -1), na.reshape(points, -1),
              d2.reshape(points, k))
     jax.block_until_ready(attrs)

@@ -175,6 +175,102 @@ void e3_gather_rows_f32(const float* src, const int32_t* order, int64_t n,
   });
 }
 
-int e3_loader_version() { return 1; }
+// --- partitioner hot loops (parallel/partition.py rev tables) -------------
+//
+// Sender-transpose ("rev") table: for each target row t, the flat slot
+// positions i where tgt[i] == t (and mask[i]).  The numpy path sorts the
+// 150M-slot target array (argsort + repeat + fancy scatter, ~33 s of the
+// 40 s 10M-point dense partition); this is a two-pass threaded counting
+// scatter instead — order within a row is irrelevant (take_dense_rev sums).
+//
+// Protocol: call with rev == nullptr to get q = max per-target count
+// (python allocates [n_targets, q]); call again with rev to fill.  mask may
+// be null (all slots valid); slots with tgt out of [0, n_targets) are
+// skipped (pad indices).
+
+void e3_rev_count(const int32_t* tgt, const uint8_t* mask, int64_t n_slots,
+                  int64_t n_targets, int32_t* counts /*[n_targets], zeroed*/) {
+  int nt = num_threads();
+  int64_t chunk = (n_slots + nt - 1) / nt;
+  std::vector<std::vector<int32_t>> hist(nt);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = t * chunk, e = std::min<int64_t>(n_slots, b + chunk);
+    if (b >= e) { hist[t].assign(n_targets, 0); continue; }
+    ts.emplace_back([&, t, b, e] {
+      hist[t].assign(n_targets, 0);
+      for (int64_t i = b; i < e; ++i) {
+        if (mask && !mask[i]) continue;
+        int64_t v = tgt[i];
+        if (v >= 0 && v < n_targets) ++hist[t][v];
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  parallel_for(n_targets, [&](int64_t b, int64_t e) {
+    for (int64_t v = b; v < e; ++v) {
+      int32_t s = 0;
+      for (int t = 0; t < nt; ++t)
+        if (!hist[t].empty()) s += hist[t][v];
+      counts[v] = s;
+    }
+  });
+}
+
+void e3_rev_fill(const int32_t* tgt, const uint8_t* mask, int64_t n_slots,
+                 int64_t n_targets, int32_t q, int32_t sentinel,
+                 int32_t* rev /*[n_targets, q]*/) {
+  int nt = num_threads();
+  int64_t chunk = (n_slots + nt - 1) / nt;
+  std::vector<std::vector<int32_t>> hist(nt);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = t * chunk, e = std::min<int64_t>(n_slots, b + chunk);
+    if (b >= e) { hist[t].assign(n_targets, 0); continue; }
+    ts.emplace_back([&, t, b, e] {
+      hist[t].assign(n_targets, 0);
+      for (int64_t i = b; i < e; ++i) {
+        if (mask && !mask[i]) continue;
+        int64_t v = tgt[i];
+        if (v >= 0 && v < n_targets) ++hist[t][v];
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  // per-(thread, target) exclusive start columns + sentinel-pad the tail
+  std::vector<int32_t> total(n_targets);
+  parallel_for(n_targets, [&](int64_t b, int64_t e) {
+    for (int64_t v = b; v < e; ++v) {
+      int32_t run = 0;
+      for (int t = 0; t < nt; ++t)
+        if (!hist[t].empty()) {
+          int32_t c = hist[t][v];
+          hist[t][v] = run;
+          run += c;
+        }
+      total[v] = run;
+      for (int32_t c = run; c < q; ++c) rev[v * q + c] = sentinel;
+    }
+  });
+  ts.clear();
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = t * chunk, e = std::min<int64_t>(n_slots, b + chunk);
+    if (b >= e) continue;
+    ts.emplace_back([&, t, b, e] {
+      auto& h = hist[t];
+      for (int64_t i = b; i < e; ++i) {
+        if (mask && !mask[i]) continue;
+        int64_t v = tgt[i];
+        if (v >= 0 && v < n_targets) {
+          int32_t col = h[v]++;
+          if (col < q) rev[v * q + col] = static_cast<int32_t>(i);
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+int e3_loader_version() { return 2; }
 
 }  // extern "C"

@@ -21,7 +21,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "morton_encode_sort", "gather_rows", "load_points_bin"]
+__all__ = ["available", "morton_encode_sort", "gather_rows", "load_points_bin",
+           "rev_counts", "rev_table"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "loader.cpp")
 _LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "_native")
@@ -74,6 +75,26 @@ def _get() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                     ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
                 ]
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                u8p = ctypes.POINTER(ctypes.c_uint8)
+                if hasattr(_lib, "e3_rev_count"):
+                    _lib.e3_rev_count.argtypes = [
+                        i32p, u8p, ctypes.c_int64, ctypes.c_int64, i32p,
+                    ]
+                    _lib.e3_rev_fill.argtypes = [
+                        i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int32, ctypes.c_int32, i32p,
+                    ]
+                else:  # stale library from an older source revision
+                    _lib = _build()
+                    if _lib is not None:
+                        _lib.e3_rev_count.argtypes = [
+                            i32p, u8p, ctypes.c_int64, ctypes.c_int64, i32p,
+                        ]
+                        _lib.e3_rev_fill.argtypes = [
+                            i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+                            ctypes.c_int32, ctypes.c_int32, i32p,
+                        ]
         return _lib
 
 
@@ -151,3 +172,69 @@ def gather_rows(src: np.ndarray, order: np.ndarray) -> np.ndarray:
 def load_points_bin(path: str, dim: int = 3) -> np.ndarray:
     """Memory-map a raw float32 [N, dim] point file (zero-copy until touched)."""
     return np.memmap(path, dtype=np.float32, mode="r").reshape(-1, dim)
+
+
+def rev_counts(
+    tgt: np.ndarray, mask: Optional[np.ndarray], n_targets: int
+) -> Optional[np.ndarray]:
+    """[n_targets] int32 per-target slot counts (native; None if unavailable).
+    Callers stacking tables across partitions use max(counts) to unify q."""
+    lib = _get()
+    if lib is None:
+        return None
+    tgt = np.ascontiguousarray(tgt, np.int32)
+    mk = None if mask is None else np.ascontiguousarray(mask, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    mp = mk.ctypes.data_as(u8p) if mk is not None else ctypes.cast(None, u8p)
+    counts = np.zeros((n_targets,), np.int32)
+    lib.e3_rev_count(
+        tgt.ctypes.data_as(i32p), mp, ctypes.c_int64(tgt.shape[0]),
+        ctypes.c_int64(n_targets), counts.ctypes.data_as(i32p),
+    )
+    return counts
+
+
+def rev_table(
+    tgt: np.ndarray,  # [S] int32 flat target per slot (pad: out of range)
+    mask: Optional[np.ndarray],  # [S] bool slot validity, or None
+    n_targets: int,
+    sentinel: int,
+    q: Optional[int] = None,  # row width; computed (max count) if None
+    out: Optional[np.ndarray] = None,  # [n_targets, q] int32 C-contiguous
+) -> Optional[np.ndarray]:
+    """[n_targets, q] sender-transpose table via threaded counting scatter.
+
+    For each target t: the flat slot positions i with ``tgt[i] == t`` and
+    ``mask[i]`` (order within a row unspecified — ``take_dense_rev`` sums),
+    sentinel-padded to q.  Returns None when the native library is
+    unavailable (callers keep their numpy path).  Replaces the numpy
+    argsort+repeat+scatter construction that dominated the 10M-point dense
+    partition (tools/exp_partition_native.py)."""
+    lib = _get()
+    if lib is None:
+        return None
+    tgt = np.ascontiguousarray(tgt, np.int32)
+    mk = None if mask is None else np.ascontiguousarray(mask, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    mp = mk.ctypes.data_as(u8p) if mk is not None else ctypes.cast(None, u8p)
+    if q is None:
+        counts = np.zeros((n_targets,), np.int32)
+        lib.e3_rev_count(
+            tgt.ctypes.data_as(i32p), mp, ctypes.c_int64(tgt.shape[0]),
+            ctypes.c_int64(n_targets), counts.ctypes.data_as(i32p),
+        )
+        q = max(int(counts.max()) if n_targets else 0, 1)
+    if out is not None:
+        assert out.shape == (n_targets, q) and out.dtype == np.int32 \
+            and out.flags.c_contiguous
+        rev = out
+    else:
+        rev = np.empty((n_targets, q), np.int32)
+    lib.e3_rev_fill(
+        tgt.ctypes.data_as(i32p), mp, ctypes.c_int64(tgt.shape[0]),
+        ctypes.c_int64(n_targets), ctypes.c_int32(q),
+        ctypes.c_int32(sentinel), rev.ctypes.data_as(i32p),
+    )
+    return rev

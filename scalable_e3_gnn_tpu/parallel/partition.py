@@ -229,7 +229,28 @@ def partition_graph_dense(
             s_bnd[p, :cnt_b], m_bnd[p, :cnt_b] = remap(gb, npp + H, True)
 
     # sender-transpose tables for scatter-free gradients: rev[m] lists the
-    # flat block-slot positions where row m is the sender (take_dense_rev)
+    # flat block-slot positions where row m is the sender (take_dense_rev).
+    # Native threaded counting-scatter when available (data/native_loader.py
+    # rev_table — the numpy argsort+repeat construction was ~33 s of the
+    # 40 s 10M/152M-edge partition, tools/exp_partition_native.py); numpy
+    # fallback below keeps the package dependency-free.
+    def rev_native(s_blk, m_blk, n_targets, sentinel):
+        from ..data.native_loader import available, rev_counts, rev_table
+
+        if not available():
+            return None
+        flat = [(np.ascontiguousarray(s_blk[p].ravel()),
+                 np.ascontiguousarray(m_blk[p].ravel()))
+                for p in range(num_parts)]
+        counts = [rev_counts(t, m, n_targets) for t, m in flat]
+        if any(c is None for c in counts):
+            return None
+        q = max(max((int(c.max()) for c in counts), default=0), 1)
+        rev = np.empty((num_parts, n_targets, q), np.int32)
+        for p, (t, m) in enumerate(flat):
+            rev_table(t, m, n_targets, sentinel, q=q, out=rev[p])
+        return rev
+
     def rev_lists(s_blk, m_blk, n_targets):
         out = []
         for p in range(num_parts):
@@ -256,8 +277,12 @@ def partition_graph_dense(
             rev[p, rows, within] = pos.astype(np.int32)
         return rev
 
-    rev_int = rev_fill(rev_lists(s_int, m_int, npp), npp, NI * k)
-    rev_ext = rev_fill(rev_lists(s_bnd, m_bnd, npp + H), npp + H, NB * k)
+    rev_int = rev_native(s_int, m_int, npp, NI * k)
+    if rev_int is None:
+        rev_int = rev_fill(rev_lists(s_int, m_int, npp), npp, NI * k)
+    rev_ext = rev_native(s_bnd, m_bnd, npp + H, NB * k)
+    if rev_ext is None:
+        rev_ext = rev_fill(rev_lists(s_bnd, m_bnd, npp + H), npp + H, NB * k)
 
     return DensePartitionedGraph(
         rev_int=rev_int,

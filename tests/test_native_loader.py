@@ -57,3 +57,55 @@ def test_load_points_bin(tmp_path):
     pts.tofile(p)
     loaded = native_loader.load_points_bin(str(p))
     np.testing.assert_array_equal(np.asarray(loaded), pts)
+
+
+def test_rev_table_matches_numpy():
+    """Native counting-scatter rev table == the numpy sort-based reference
+    (row contents as sets; padding sentinel beyond each row's count)."""
+    if not native_loader.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    S, T = 20000, 700
+    tgt = rng.integers(0, T + 5, S).astype(np.int32)  # includes out-of-range
+    mask = rng.random(S) < 0.8
+    counts = native_loader.rev_counts(tgt, mask, T)
+    ref_counts = np.bincount(tgt[mask & (tgt < T)], minlength=T)
+    np.testing.assert_array_equal(counts, ref_counts)
+    q = int(counts.max()) + 2  # wider than needed: tail must be sentinel
+    rev = native_loader.rev_table(tgt, mask, T, sentinel=S, q=q)
+    assert rev.shape == (T, q)
+    for t in range(0, T, 37):
+        row = rev[t]
+        got = np.sort(row[row < S])
+        want = np.nonzero((tgt == t) & mask)[0]
+        np.testing.assert_array_equal(got, want)
+        assert (row[len(want):] == S).all()
+
+
+def test_partition_dense_native_matches_numpy_rev(monkeypatch):
+    """partition_graph_dense produces equivalent rev tables with and without
+    the native path (row contents as sets; q may differ only by ordering)."""
+    from scalable_e3_gnn_tpu.parallel import partition as P
+    from scalable_e3_gnn_tpu.data import native_loader as NL
+
+    rng = np.random.default_rng(3)
+    n, k = 512, 8
+    offs = rng.integers(-20, 21, size=(n, k))
+    senders = ((np.arange(n)[:, None] + offs) % n).astype(np.int32)
+    mask = rng.random((n, k)) < 0.9
+    feats = rng.standard_normal((n, 4)).astype(np.float32)
+    pos = rng.random((n, 3)).astype(np.float32)
+
+    part_nat = P.partition_graph_dense(pos, feats, senders, mask, num_parts=4)
+    monkeypatch.setattr(NL, "available", lambda: False)
+    part_np = P.partition_graph_dense(pos, feats, senders, mask, num_parts=4)
+
+    for a, b in ((part_nat.rev_int, part_np.rev_int),
+                 (part_nat.rev_ext, part_np.rev_ext)):
+        assert a.shape == b.shape, (a.shape, b.shape)
+        sent = a.max()
+        for p in range(a.shape[0]):
+            np.testing.assert_array_equal(np.sort(a[p], axis=1),
+                                          np.sort(b[p], axis=1))

@@ -88,6 +88,67 @@ def schedule_scan(hlo: str):
     return report
 
 
+def tpu_schedule_evidence(parts=4):
+    """AOT-compile the dense distributed forward for a REAL v5e multi-chip
+    topology (compile-only local libtpu; no hardware needed) and scan the
+    scheduled module: for each layer's halo all-gather, count the compute
+    ops (fusions/dots/Mosaic custom-calls) the TPU scheduler placed between
+    ``all-gather-start`` and its ``-done`` — the direct evidence that the
+    exchange overlaps independent interior compute (VERDICT r2 item 4a)."""
+    from jax.experimental import topologies
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x2x1")
+    mesh = Mesh(np.array(topo.devices)[:parts].reshape(parts), ("graph",))
+    part = build(n=4096, parts=parts)
+    model = SEGNN(Irreps("2x0e+1x1o"), Irreps("32x0e+16x1o"), Irreps("1x1o"),
+                  num_layers=4, layout="cm", use_pallas=True)
+    params = model.init(jax.random.key(0))
+    args = H._shard_args_dense(part)
+    sh = lambda x: jax.ShapeDtypeStruct(
+        x.shape, x.dtype,
+        sharding=NamedSharding(mesh, P("graph", *([None] * (x.ndim - 1)))))
+    args_s = tuple(sh(jnp.asarray(a)) for a in args)
+    # attrs shapes: run the local geometry on concrete CPU data for shapes
+    cpu_attrs = jax.eval_shape(
+        lambda a: H.make_dist_geometry_dense(model, Mesh(
+            np.array(jax.devices()[:parts]).reshape(parts), ("graph",)))(a),
+        tuple(jnp.asarray(a) for a in args))
+    attrs_s = jax.tree.map(sh, cpu_attrs)
+    params_s = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                       sharding=NamedSharding(mesh, P())),
+        params)
+    fwd = H.make_dist_forward_dense(model, mesh)
+    hlo = jax.jit(lambda p, a, at: fwd(p, a, at)).lower(
+        params_s, args_s, attrs_s).compile().as_text()
+    lines = hlo.splitlines()
+    compute = re.compile(r"= .*(fusion|dot\(|convolution|custom-call)")
+    open_windows = {}
+    report = []
+    for ln in lines:
+        m = re.search(r"(%[\w.\-]+) = .*all-gather-start", ln)
+        if m:
+            open_windows[m.group(1)] = 0
+            continue
+        m = re.search(r"all-gather-done\((%[\w.\-]+)", ln)
+        if m and m.group(1) in open_windows:
+            report.append((m.group(1), open_windows.pop(m.group(1))))
+            continue
+        if compute.search(ln):
+            for k in open_windows:
+                open_windows[k] += 1
+    print(f"# TPU v5e:{parts}-chip AOT schedule: "
+          f"{len(report)} all-gather start/done windows")
+    for k, c in report:
+        print(f"#   {k}: {c} compute ops inside window")
+    n_overlap = sum(1 for _, c in report if c > 0)
+    print(f"# => {n_overlap}/{len(report)} halo exchanges overlap compute "
+          f"in the scheduled TPU module")
+    return report
+
+
 def main():
     devices = jax.devices()
     assert len(devices) >= 8 and devices[0].platform == "cpu", devices
@@ -139,6 +200,8 @@ def main():
         H._local_forward_dense = orig
     print(f"# split step: {t_split*1e3:.2f} ms; serialized exchange: "
           f"{t_ser*1e3:.2f} ms; delta {100*(t_ser/t_split-1):.1f}%")
+
+    tpu_schedule_evidence()
 
 
 if __name__ == "__main__":
