@@ -142,6 +142,22 @@ def config5_single_chip(iters: int, chunks: int, points: int) -> None:
     graph = DenseEdgeGraph.from_radius_edges(
         jnp.asarray(feats), tree.points, e, symmetrize=False)
     n_edges = int(np.asarray(graph.edge_mask).sum())
+    # free the build-time device buffers before the training allocations:
+    # the flat RadiusEdges (senders+mask ~0.8 GB at 10M) and the octree's
+    # cell arrays are dead weight; only graph.* stays
+    e = None
+    tree = None
+    del pts
+
+    def hbm(tag):
+        try:
+            s = jax.local_devices()[0].memory_stats()
+            print(f"# [{tag}] HBM in use: "
+                  f"{s['bytes_in_use']/2**30:.2f} GiB", flush=True)
+        except Exception:
+            pass
+
+    hbm("after graph build")
 
     model = SEGNN(
         Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"), Irreps("1x1o"),

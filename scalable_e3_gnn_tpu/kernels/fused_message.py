@@ -526,6 +526,29 @@ def _split_weights(cfg, w0e1, w1o1, w0e2, w1o2):
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+
+def _cost(cfg, n, ws, operands, outs, scale=1):
+    """Rough CostEstimate for the latency-hiding scheduler: without one,
+    Mosaic custom-calls look free and XLA never hoists a halo
+    all-gather-start across them (tools/exp_overlap_evidence.py).  flops =
+    2·(edge slots)·Σ w_in·w_out per message layer; bytes = operand+result
+    HBM traffic; transcendentals = gate activations per slot."""
+    rows = n * cfg.k
+    flops = 2 * rows * sum(int(w.shape[-2]) * int(w.shape[-1]) for w in ws)
+    gates = rows * 2 * (cfg.hs + 2 * cfg.hv)
+    byts = sum(int(np_prod(x.shape)) * x.dtype.itemsize
+               for x in operands + outs)
+    return pl.CostEstimate(flops=scale * flops, transcendentals=scale * gates,
+                           bytes_accessed=byts)
+
+
+def np_prod(shape):
+    out = 1
+    for d in shape:
+        out *= int(d)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_message_aggregate(cfg: MessageConfig, hs, hr, d2, attr, maskf,
                             w0e1, w1o1, w0e2, w1o2):
@@ -563,6 +586,8 @@ def _fwd_call(cfg, hs, hr, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2):
         out_specs=pl.BlockSpec((cfg.tile, cfg.f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, cfg.f), hr.dtype),
         compiler_params=_COMPILER_PARAMS,
+        cost_estimate=_cost(cfg, n, (w0e1, w1o1, w0e2, w1o2),
+                            [hs, hr, d2, attr, maskf], [hr]),
     )(hs, hr, d2, attr, maskf, *ws)
 
 
@@ -618,6 +643,9 @@ def _vjp_bwd(cfg, residuals, d_agg):
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=_COMPILER_PARAMS,
+        cost_estimate=_cost(cfg, hr.shape[0], (w0e1, w1o1, w0e2, w1o2),
+                            [hs, hr, d2, attr, maskf, d_agg],
+                            [hs, hr], scale=3),
     )(hs, hr, d2, attr, maskf, *ws, d_agg)
     zeros = lambda x: jnp.zeros_like(x)
     wdt = w0e1.dtype

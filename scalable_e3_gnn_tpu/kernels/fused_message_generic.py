@@ -68,6 +68,25 @@ __all__ = ["FusedMessageGeneric"]
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _cost(k, n, flat_ws, operands, outs, scale=1):
+    """Rough CostEstimate so the latency-hiding scheduler sees the Mosaic
+    custom-call's real weight: without one the kernel looks free and XLA
+    never hoists a halo all-gather-start across it (exp_overlap_evidence).
+    flops = 2·slots·Σ w_in·w_out (the folded-GEMM chain); bytes = HBM
+    operand/result traffic."""
+    rows = n * k
+    flops = 2 * rows * sum(
+        int(w.shape[-2]) * int(w.shape[-1]) for w in flat_ws if w.ndim >= 2)
+    byts = 0
+    for x in operands + outs:
+        b = x.dtype.itemsize
+        for d in x.shape:
+            b *= int(d)
+        byts += b
+    return pl.CostEstimate(flops=scale * flops, transcendentals=rows,
+                           bytes_accessed=byts)
+
+
 def _expand_matrix_km(T, K, dtype):
     """[K*T, T] 0/1 matrix for slot-major rows: (E @ x)[k*T+t] = x[t];
     E.T @ m sums each node's K slots.  Only used inside the fallback
@@ -289,6 +308,7 @@ class FusedMessageGeneric:
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
             compiler_params=_COMPILER_PARAMS,
+            cost_estimate=_cost(self.k, n, flat, [hs, hr, geo2], [hr]),
         )(hs, hr, geo2, *flat)
         if save:
             return res[0], list(res[1 : 1 + nlay])
@@ -373,6 +393,8 @@ class FusedMessageGeneric:
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
             compiler_params=_COMPILER_PARAMS,
+            cost_estimate=_cost(self.k, n, flat, [hs, hr, geo2, d_agg],
+                                [hs, hr], scale=3),
         )(hs, hr, geo2, *flat, d_agg)
         dhs, dhr = outs[0], outs[1]
         dw_flat = [
@@ -505,6 +527,9 @@ class FusedMessageGeneric:
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
             compiler_params=_COMPILER_PARAMS,
+            cost_estimate=_cost(self.k, n, flat,
+                                [hs, hr, geo2, d_agg] + list(ys),
+                                [hs, hr], scale=2),
         )(hs, hr, geo2, *flat, *ys, d_agg)
         dhs, dhr = outs[0], outs[1]
         dw_flat = [d.astype(w.dtype) for d, w in zip(outs[2:], flat)]

@@ -121,31 +121,46 @@ def tpu_schedule_evidence(parts=4):
                                        sharding=NamedSharding(mesh, P())),
         params)
     fwd = H.make_dist_forward_dense(model, mesh)
-    hlo = jax.jit(lambda p, a, at: fwd(p, a, at)).lower(
-        params_s, args_s, attrs_s).compile().as_text()
-    lines = hlo.splitlines()
-    compute = re.compile(r"= .*(fusion|dot\(|convolution|custom-call)")
-    open_windows = {}
-    report = []
-    for ln in lines:
-        m = re.search(r"(%[\w.\-]+) = .*all-gather-start", ln)
+    # the final executable text re-merges async pairs (sync all-gather with
+    # an async_collective_name attribute), hiding the window; dump the
+    # latency-hiding-scheduler output instead — line order IS the schedule
+    import glob
+    import tempfile
+
+    dump = tempfile.mkdtemp(prefix="overlap_hlo_")
+    jax.jit(lambda p, a, at: fwd(p, a, at)).lower(
+        params_s, args_s, attrs_s).compile(compiler_options={
+            "xla_dump_to": dump,
+            "xla_dump_hlo_pass_re": "latency-hiding-scheduler",
+        })
+    files = glob.glob(f"{dump}/*after_latency-hiding-scheduler*")
+    if not files:
+        print("# (no latency-hiding-scheduler dump produced)")
+        return []
+    lines = open(files[0]).read().splitlines()
+    kernel = re.compile(r"= .*custom-call.*tpu_custom_call")
+    open_w, report = {}, []
+    for i, ln in enumerate(lines):
+        m = re.search(r"(%[\w.\-]+) = .* all-gather-start\(", ln)
         if m:
-            open_windows[m.group(1)] = 0
+            open_w[m.group(1)] = [i, 0]
             continue
         m = re.search(r"all-gather-done\((%[\w.\-]+)", ln)
-        if m and m.group(1) in open_windows:
-            report.append((m.group(1), open_windows.pop(m.group(1))))
+        if m and m.group(1) in open_w:
+            st = open_w.pop(m.group(1))
+            report.append((m.group(1), st[0], i, st[1]))
             continue
-        if compute.search(ln):
-            for k in open_windows:
-                open_windows[k] += 1
-    print(f"# TPU v5e:{parts}-chip AOT schedule: "
+        if kernel.search(ln):
+            for k in open_w:
+                open_w[k][1] += 1
+    print(f"# TPU v5e:{parts}-chip AOT latency-hiding schedule: "
           f"{len(report)} all-gather start/done windows")
-    for k, c in report:
-        print(f"#   {k}: {c} compute ops inside window")
-    n_overlap = sum(1 for _, c in report if c > 0)
-    print(f"# => {n_overlap}/{len(report)} halo exchanges overlap compute "
-          f"in the scheduled TPU module")
+    for k, s, d, c in report:
+        print(f"#   {k}: start@{s} done@{d}, {c} Mosaic kernel(s) scheduled "
+              f"inside the window")
+    n_overlap = sum(1 for *_, c in report if c > 0)
+    print(f"# => {n_overlap}/{len(report)} halo exchanges overlap the "
+          f"interior fused kernel in the scheduled TPU module")
     return report
 
 
