@@ -373,21 +373,35 @@ class SEGNNLayer:
             agg = f(
                 params, h_ext, h_local, senders, edge_attr, edge_dist2, edge_mask
             )
-        def upd_fn(upd_params, h_local_, agg_):
+        def upd_fn(upd_params, h_local_, agg_, node_attr_):
             u = jnp.concatenate([h_local_, agg_], axis=-1)
             for i, layer in enumerate(self.update_layers):
-                u = layer(upd_params[f"upd_{i}"], u, node_attr)
+                u = layer(upd_params[f"upd_{i}"], u, node_attr_)
             return u
 
-        if self.remat and any(
+        if (self.remat or chunks > 1) and any(
             isinstance(l.tp, TensorProduct) for l in self.update_layers
         ):
             # the generic TP's outer-product z ([N, ~1.6k] at lmax=2) is the
             # largest node-level intermediate — recompute it in the backward.
             # The L1 fast path has no such blow-up; recomputing it would only
-            # cost time (~5 ms/step at the 100k bench config).
+            # cost time (~5 ms/step at the 100k bench config).  Chunked mode
+            # REQUIRES this: lax.map stacks un-checkpointed chunk residuals,
+            # rebuilding the full-size z.
             upd_fn = jax.checkpoint(upd_fn)
-        h = h_local + upd_fn(params, h_local, agg)
+        if chunks > 1:
+            # node-block the update too: even one z tile is [N, in*C2]
+            # (32 GB at 10M/lmax=2 — the config-5 OOM), and chunking the
+            # messages alone leaves it whole
+            def upd_chunk(i):
+                sl = i * c
+                d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
+                return upd_fn(params, d(h_local), d(agg), d(node_attr))
+
+            u = jax.lax.map(upd_chunk, jnp.arange(chunks)).reshape(n, -1)
+        else:
+            u = upd_fn(params, h_local, agg, node_attr)
+        h = h_local + u
         return jnp.where(node_mask[:, None], h, 0.0)
 
     def apply_dense_split(
@@ -832,8 +846,30 @@ class SEGNN:
             if self.remat_layers:
                 body = jax.checkpoint(body)
             h = body(params[f"layer_{i}"], h)
-        h = self.pre_head(params["pre_head"], h, node_attr)
-        out = self.head(params["head"], h)
+        n = h.shape[0]
+        ec = self.layers[0].edge_chunks if self.layers else 1
+        if ec > 1 and n % ec == 0:
+            # pre_head's z is [N, F*C2] (1.6 GB at 10M) — stream it in the
+            # same node blocks as the message/update chunking
+            cc = n // ec
+
+            # checkpoint each chunk: un-checkpointed, lax.map STACKS every
+            # chunk's backward residuals — including the [cc, F*C2] z — and
+            # the memory win evaporates ([chunks, cc, 810] = 18 GB at 10M)
+            @jax.checkpoint
+            def head_chunk(hp, h_, na_):
+                hh = self.pre_head(hp["pre_head"], h_, na_)
+                return self.head(hp["head"], hh)
+
+            def head_idx(i):
+                sl = i * cc
+                d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, cc, axis=0)
+                return head_chunk(params, d(h), d(node_attr))
+
+            out = jax.lax.map(head_idx, jnp.arange(ec)).reshape(n, -1)
+        else:
+            h = self.pre_head(params["pre_head"], h, node_attr)
+            out = self.head(params["head"], h)
         if self.task == "graph":
             out = jnp.where(graph.node_mask[:, None], out, 0.0)
             out = segment_sum(out, graph.node_graph, graph.n_graphs)

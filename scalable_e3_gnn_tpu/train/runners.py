@@ -318,7 +318,13 @@ def run_pointcloud(
     # the jnp fallback (CPU tests) streams node blocks instead
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = on_tpu and cfg.model.layout == "cm"
-    chunks = 1 if (use_pallas or lmax1) else max(1, n // 125_000)
+    if use_pallas or lmax1:
+        # fused kernels keep per-edge intermediates in VMEM; chunking is
+        # only needed once the [K, N, F] operand itself outgrows HBM
+        # (config 5: 29 GB at 10M/F=90) — then stream ~400k-node blocks
+        chunks = max(1, n // 400_000) if n > 2_000_000 else 1
+    else:
+        chunks = max(1, n // 125_000)
     model = SEGNN(
         Irreps(cfg.model.input_irreps),
         Irreps(cfg.model.hidden_irreps),
@@ -332,6 +338,10 @@ def run_pointcloud(
         # at >=500k points the per-layer packed-stream residuals no longer
         # fit HBM; trade one extra in-kernel forward per layer for them
         remat_kernel=cfg.model.remat and n >= 500_000,
+        # at 10M-class sizes also checkpoint whole layers: the backward
+        # then retains only the [N, F] layer boundaries (bench_scaling
+        # --config5 HBM math)
+        remat_layers=n > 2_000_000,
     )
     params = model.init(jax.random.key(seed))
     attrs = jax.jit(model.compute_attributes_dense)(graph)

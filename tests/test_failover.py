@@ -61,7 +61,7 @@ _CHEAP_WORKER = textwrap.dedent(
     """
     import json, os, sys, time
     sys.path.insert(0, os.environ["E3GNN_REPO"])
-    from scalable_e3_gnn_tpu.parallel.failover import Heartbeat, inject_failure
+    from scalable_e3_gnn_tpu.parallel.failover import Heartbeat
 
     pid = int(os.environ["E3GNN_PID"])
     work = os.environ["E3GNN_WORK"]
@@ -72,6 +72,25 @@ _CHEAP_WORKER = textwrap.dedent(
     if os.path.exists(ckpt):
         with open(ckpt) as f:
             v, start = json.load(f)
+
+    # fault injection, start-aware: workers resume from the SHARED ckpt
+    # written by pid 0, so under CPU load the victim can start with
+    # start > trigger (or even past the whole loop) — a step-exact trigger
+    # then silently never fires (the pre-r3 flake: "clean exit, restarts=0").
+    victim = int(os.environ.get("E3GNN_DIE_PROCESS", "0"))
+    mode = ("hang" if os.environ.get("E3GNN_HANG") == "1" else
+            "exit0" if "E3GNN_EXIT0_AT_STEP" in os.environ else
+            "die" if "E3GNN_DIE_AT_STEP" in os.environ else None)
+    trig = int(os.environ.get("E3GNN_DIE_AT_STEP")
+               or os.environ.get("E3GNN_EXIT0_AT_STEP") or 4)
+    armed = mode is not None and incarnation == 0 and pid == victim
+    t_eff = min(max(trig, start), 9)
+
+    def act():
+        if mode == "hang":
+            time.sleep(3600)
+        os._exit(0 if mode == "exit0" else 42)
+
     for s in range(start, 10):
         hb.beat(s)
         v = v * 3 + 1  # deterministic chain: interruption must not change it
@@ -79,15 +98,11 @@ _CHEAP_WORKER = textwrap.dedent(
             with open(ckpt + ".tmp", "w") as f:
                 json.dump([v, s + 1], f)
             os.replace(ckpt + ".tmp", ckpt)
-        if os.environ.get("E3GNN_HANG") == "1" and incarnation == 0 \\
-                and pid == 1 and s == 4:
-            time.sleep(3600)
-        if os.environ.get("E3GNN_EXIT0_AT_STEP") == str(s) \\
-                and incarnation == 0 \\
-                and pid == int(os.environ.get("E3GNN_DIE_PROCESS", "0")):
-            os._exit(0)  # crash whose exit code reads 0 (reaped/lost)
-        inject_failure(s)
+        if armed and s == t_eff:
+            act()
         time.sleep(0.02)
+    if armed and start >= 10:
+        act()  # resumed past the whole loop: still fault once
     if pid == 0:
         with open(os.path.join(work, "final.json"), "w") as f:
             json.dump(v, f)
@@ -138,7 +153,8 @@ def test_supervisor_recovers_from_crash(tmp_path):
 
 def test_supervisor_recovers_from_hang(tmp_path):
     report, work = _run_cheap_world(
-        tmp_path, {"E3GNN_HANG": "1"}, heartbeat_timeout_s=1.0)
+        tmp_path, {"E3GNN_HANG": "1", "E3GNN_DIE_PROCESS": "1"},
+        heartbeat_timeout_s=2.0)
     assert report.ok, report
     assert report.restarts == 1, report
     with open(os.path.join(work, "final.json")) as f:

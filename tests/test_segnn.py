@@ -155,3 +155,37 @@ def test_nbody_training_beats_baseline():
     baseline = float(mse_loss(jnp.zeros_like(tgt), tgt))
     final = float(m["loss"])
     assert final < 0.5 * baseline, (final, baseline)
+
+
+def test_edge_chunks_matches_unchunked():
+    """edge_chunks streaming (config-5 memory mode: chunked messages AND
+    chunked update/pre-head, models/segnn.py apply_dense) must reproduce
+    the unchunked forward and gradients exactly — it is pure control flow."""
+    from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
+    from scalable_e3_gnn_tpu.graph.radius import radius_graph_brute
+
+    rng = np.random.default_rng(5)
+    n = 128
+    pts = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    e = radius_graph_brute(pts, 0.9, max_neighbors=8)
+    feats = jnp.asarray(rng.standard_normal((n, 5)), jnp.float32)
+    g = DenseEdgeGraph.from_radius_edges(feats, pts, e)
+    tgt = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+
+    def model(chunks):
+        return SEGNN(Irreps("2x0e+1x1o"), Irreps("8x0e+4x1o+2x2e"),
+                     Irreps("1x1o"), lmax_attr=2, num_layers=2, layout="cm",
+                     remat=True, edge_chunks=chunks)
+
+    m1, m4 = model(1), model(4)
+    params = m1.init(jax.random.key(0))
+    o1 = np.array(m1(params, g))
+    o4 = np.array(m4(params, g))
+    np.testing.assert_allclose(o4, o1, atol=1e-5)
+
+    loss = lambda m: (lambda p: mse_loss(m(p, g), tgt))
+    g1 = jax.grad(loss(m1))(params)
+    g4 = jax.grad(loss(m4))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(np.array(b), np.array(a), atol=2e-5)
