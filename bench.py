@@ -193,6 +193,9 @@ def main():
     g250b = g250._replace(nodes=g250.nodes.astype(jnp.bfloat16))
     a2 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, a2)
+    # geo-only attrs: the generic kernel consumes the packed stream; the raw
+    # edge_attr/dist2 would sit in HBM as dead argument buffers
+    a2 = (None, a2[1], None, a2[3])
     t2 = jnp.asarray(rng.standard_normal((250_000, 3)), jnp.float32)
 
     def loss2(p, g, a, t):
@@ -230,6 +233,7 @@ def main():
     g1mb = g1m._replace(nodes=g1m.nodes.astype(jnp.bfloat16))
     a4 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, a4)
+    a4 = (None, a4[1], None, a4[3])  # geo-only (see a2)
     t4 = jnp.asarray(rng.standard_normal((n1m, 3)), jnp.float32)
 
     def loss4(p, g, a, t):

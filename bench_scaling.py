@@ -162,7 +162,7 @@ def config5_single_chip(iters: int, chunks: int, points: int) -> None:
     model = SEGNN(
         Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"), Irreps("1x1o"),
         lmax_attr=2, num_layers=4, remat=True, layout="cm", use_pallas=True,
-        edge_chunks=chunks, remat_kernel=True, remat_layers=True,
+        edge_chunks=chunks, remat_kernel=True, remat_layers=2,
     )
     params = model.init(jax.random.key(0))
 
@@ -170,7 +170,10 @@ def config5_single_chip(iters: int, chunks: int, points: int) -> None:
     # the chunked message path rebuilds per-chunk geometry, so the [N, K, 11]
     # edge_geo stream is never needed)
     bf = jnp.bfloat16
+    # ~1M-point attr slabs, but nchunk must divide points exactly
     nchunk = max(points // 1_000_000, 1)
+    while nchunk > 1 and points % nchunk:
+        nchunk -= 1
     c = points // nchunk
 
     from scalable_e3_gnn_tpu.core.spherical import spherical_harmonics
@@ -187,17 +190,22 @@ def config5_single_chip(iters: int, chunks: int, points: int) -> None:
             cnt = jnp.maximum(mk.sum(axis=1), 1)
             na = ea.sum(axis=1) / cnt[:, None].astype(ea.dtype)
             na = na.at[..., 0].set(1.0)
-            return ea.astype(bf), na.astype(bf), dist2.astype(bf)
+            geo = jnp.concatenate(
+                [ea, dist2[..., None], mk[..., None].astype(ea.dtype)],
+                axis=-1)
+            return geo.astype(bf), na.astype(bf)
 
         return jax.lax.map(attr_chunk, jnp.arange(nchunk))
 
     # arrays enter as arguments, NOT closure constants — constants embed in
     # the serialized module and blow the remote-compile request body (HTTP
     # 413 at 10M points)
-    ea, na, d2 = jax.jit(attrs_chunked)(
+    geo, na = jax.jit(attrs_chunked)(
         graph.positions, graph.senders, graph.edge_mask)
-    attrs = (ea.reshape(points, k, -1), na.reshape(points, -1),
-             d2.reshape(points, k))
+    # geo-only attrs: passing the raw [N, K, 9] edge_attr too would hand
+    # XLA a whole-graph tensor it relayouts into a 4.8 GB temp (r3 OOM #1)
+    attrs = (None, na.reshape(points, -1), None,
+             geo.reshape(points, k * (9 + 2)))  # 2-D lane-dense
     jax.block_until_ready(attrs)
     graph = graph._replace(nodes=graph.nodes.astype(bf))
     target = jnp.asarray(rng.standard_normal((points, 3)), jnp.float32)

@@ -293,7 +293,7 @@ class SEGNNLayer:
         node_mask: jnp.ndarray,  # [N]
         reverse_slot: Optional[jnp.ndarray] = None,  # [N, K] symmetric graphs
         gather: Optional[tuple] = None,  # (loc, gtab, rtab, tile) tables
-        edge_geo: Optional[jnp.ndarray] = None,  # [N, K, A+2] packed geometry
+        edge_geo: Optional[jnp.ndarray] = None,  # [N, K*(A+2)] packed geometry
     ) -> jnp.ndarray:
         """Fixed-degree variant: K neighbor slots per node.
 
@@ -311,26 +311,33 @@ class SEGNNLayer:
         # because reverse edges cross chunk boundaries
         rs = reverse_slot if self.edge_chunks == 1 else None
         gt = gather if self.edge_chunks == 1 else None
-        geo = edge_geo if self.edge_chunks == 1 else None
+        geo = edge_geo
 
         def msgs_block(msg_params, h_ext_, h_local_b, senders_b, edge_attr_b,
-                       dist2_b, mask_b):
+                       dist2_b, mask_b, geo_b):
             """Message MLP + K-sum over a block of nodes (pallas or jnp)."""
             if self.use_pallas and gt is not None and h_ext_ is h_local_b:
                 return self._fused_messages_tabled(
                     msg_params, h_local_b, edge_attr_b, dist2_b, mask_b, gt,
-                    edge_geo=geo,
+                    edge_geo=geo_b,
                 )
             if self.use_pallas:
                 return self._fused_messages(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
-                    dist2_b, mask_b, reverse_slot=rs, edge_geo=geo,
+                    dist2_b, mask_b, reverse_slot=rs, edge_geo=geo_b,
                 )
             if self.use_pallas_generic:
                 return self._fused_messages_generic(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
-                    dist2_b, mask_b, reverse_slot=rs, edge_geo=geo,
+                    dist2_b, mask_b, reverse_slot=rs, edge_geo=geo_b,
                 )
+            if edge_attr_b is None:
+                # geo-only streaming (config 5): unpack the packed stream
+                g3 = geo_b.reshape(geo_b.shape[0], k, -1)
+                a_dim = g3.shape[-1] - 2
+                edge_attr_b = g3[..., :a_dim]
+                dist2_b = g3[..., a_dim]
+                mask_b = g3[..., a_dim + 1] > 0
             if rs is not None and h_ext_ is h_local_b:
                 hs = take_dense_symmetric(h_ext_, senders_b, rs, mask_b)
             else:
@@ -345,18 +352,24 @@ class SEGNNLayer:
         chunks = self.edge_chunks if n % max(self.edge_chunks, 1) == 0 else 1
         if chunks > 1:
             # stream node blocks: bounds live per-edge memory to one chunk —
-            # required at 1M+ points where [N, K, F] tensors exceed HBM
+            # required at 1M+ points where [N, K, F] tensors exceed HBM.
+            # The packed geo stream slices per chunk like everything else;
+            # edge_attr/dist2 may then be None entirely (config 5 passes
+            # only geo — avoids a whole-graph [N, K, A] relayout temp).
             c = n // chunks
 
             def chunk_fn(msg_params, h_ext_, idx):
                 sl = idx * c
-                d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
+                d = lambda a: (jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
+                               if a is not None else None)
                 return msgs_block(
                     msg_params, h_ext_, d(h_local), d(senders), d(edge_attr),
-                    d(edge_dist2), d(edge_mask),
+                    d(edge_dist2), d(edge_mask), d(geo),
                 )
 
-            if self.remat:
+            if self.remat or self.remat_kernel:
+                # REQUIRED under lax.map: un-checkpointed chunk residuals
+                # stack back to full size
                 chunk_fn = jax.checkpoint(chunk_fn, static_argnums=())
             agg = jax.lax.map(
                 lambda i: chunk_fn(params, h_ext, i), jnp.arange(chunks)
@@ -371,7 +384,8 @@ class SEGNNLayer:
             if (self.remat and not pallas) or (self.remat_kernel and pallas):
                 f = jax.checkpoint(f)
             agg = f(
-                params, h_ext, h_local, senders, edge_attr, edge_dist2, edge_mask
+                params, h_ext, h_local, senders, edge_attr, edge_dist2,
+                edge_mask, geo
             )
         def upd_fn(upd_params, h_local_, agg_, node_attr_):
             u = jnp.concatenate([h_local_, agg_], axis=-1)
@@ -620,9 +634,9 @@ class SEGNNLayer:
         f = h_local.shape[-1]
         # pad node rows to a multiple of the tile: grid-step overhead at
         # tile=8/16 dominates otherwise (250k rows = 15625+ grid steps);
-        # bwd=64 measured ~1.5% faster than 32 at the 250k lmax=2 config
-        # (tools/exp_lmax2_tiles.py) and fits VMEM at every config tested
-        tile, bwd = 64, 64
+        # r3 sweep at 250k lmax=2 (tools/exp_lmax2_tiles.py): 96/96 885 ms
+        # vs 64/64 895 ms vs 128/64 892 ms — modest but free
+        tile, bwd = 96, 96
         npad = -(-n // tile) * tile
         key = (k, npad)
         if key not in self._generic_kernels:
@@ -710,14 +724,17 @@ class SEGNN:
         remat_kernel: bool = False,
         pack: int = 1,
         residual_bwd: bool = True,
-        remat_layers: bool = False,
+        remat_layers: int = 0,
     ) -> None:
-        # remat_layers: jax.checkpoint each whole message-passing layer, so
-        # the backward retains only the [N, F] layer-boundary activations
-        # (num_layers of them) — the config-5 single-chip HBM enabler: at
-        # 10M points/F=90/bf16 each boundary is 1.8 GB, while the un-remat
-        # per-layer agg/update intermediates would add ~2x that again.
-        self.remat_layers = remat_layers
+        # remat_layers: jax.checkpoint whole message-passing layers, so the
+        # backward retains only the [N, F] layer-boundary activations — the
+        # config-5 single-chip HBM enabler: at 10M points/F=90/bf16 each
+        # boundary is 1.8 GB, while the un-remat per-layer agg/update
+        # intermediates would add ~2x that again.  An int is a GROUP size:
+        # remat_layers=2 checkpoints pairs of layers, halving the retained
+        # boundaries for one extra layer-forward per pair in the backward
+        # (4 x 1.79 GB -> 2 x 1.79 GB at 10M — what closes the budget).
+        self.remat_layers = int(remat_layers)
         self.input_irreps = Irreps(input_irreps)
         self.hidden_irreps = Irreps(hidden_irreps)
         self.output_irreps = Irreps(output_irreps)
@@ -808,7 +825,12 @@ class SEGNN:
             [edge_attr, dist2[..., None],
              graph.edge_mask[..., None].astype(edge_attr.dtype)], axis=-1,
         )
-        return edge_attr, node_attr, dist2, edge_geo
+        # 2-D [N, K*(A+2)]: a 3-D [N, K, A+2] jit ARGUMENT gets the (8,128)
+        # tiling on its (K, A+2) trailing dims — an 11.6x lane-padding HBM
+        # blowup (the [E, 1] trap, docs/PERF.md) or a whole-graph relayout
+        # copy (the r3 config-5 OOM #1); lane-dense rows avoid both
+        return edge_attr, node_attr, dist2, edge_geo.reshape(
+            edge_geo.shape[0], -1)
 
     def _forward_dense(
         self,
@@ -827,27 +849,58 @@ class SEGNN:
             edge_attr, node_attr, dist2, edge_geo = (
                 self.compute_attributes_dense(graph, velocities)
             )
-        h = self.embed(params["embed"], graph.nodes, node_attr)
+        n = graph.nodes.shape[0]
+        ec = self.layers[0].edge_chunks if self.layers else 1
+        if ec > 1 and n % ec == 0:
+            # chunk the embed too: its cm-layout per-irrep blocks are narrow
+            # columns XLA lays out N-minor ({0,1}), dragging whole-graph
+            # relayout copies behind them (config-5 OOM temps #4-8)
+            ce = n // ec
+
+            @jax.checkpoint
+            def embed_chunk(ep, x_, na_):
+                return self.embed(ep, x_, na_)
+
+            def embed_idx(i):
+                sl = i * ce
+                d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, ce, axis=0)
+                return embed_chunk(params["embed"], d(graph.nodes),
+                                   d(node_attr))
+
+            h = jax.lax.map(embed_idx, jnp.arange(ec)).reshape(n, -1)
+        else:
+            h = self.embed(params["embed"], graph.nodes, node_attr)
         gather = None
         if graph.gather_loc is not None:
             gather = (
                 graph.gather_loc, graph.gather_tab, graph.gather_rev,
                 graph.gather_tile,
             )
-        for i, layer in enumerate(self.layers):
-            def body(lp, h_, layer=layer):
-                return layer.apply_dense(
-                    lp, h_, h_, graph.senders, edge_attr, node_attr,
-                    dist2, graph.edge_mask, graph.node_mask,
-                    reverse_slot=graph.reverse_slot,
-                    gather=gather,
-                    edge_geo=edge_geo,
-                )
-            if self.remat_layers:
+
+        def layer_body(lp, h_, layer):
+            return layer.apply_dense(
+                lp, h_, h_, graph.senders, edge_attr, node_attr,
+                dist2, graph.edge_mask, graph.node_mask,
+                reverse_slot=graph.reverse_slot,
+                gather=gather,
+                edge_geo=edge_geo,
+            )
+
+        g = self.remat_layers
+        if g:
+            for start in range(0, len(self.layers), g):
+                grp = list(range(start, min(start + g, len(self.layers))))
+
+                def body(lps, h_, grp=grp):
+                    for j, i in enumerate(grp):
+                        h_ = layer_body(lps[j], h_, self.layers[i])
+                    return h_
+
                 body = jax.checkpoint(body)
-            h = body(params[f"layer_{i}"], h)
-        n = h.shape[0]
-        ec = self.layers[0].edge_chunks if self.layers else 1
+                h = body([params[f"layer_{i}"] for i in grp], h)
+        else:
+            for i, layer in enumerate(self.layers):
+                h = layer_body(params[f"layer_{i}"], h, layer)
         if ec > 1 and n % ec == 0:
             # pre_head's z is [N, F*C2] (1.6 GB at 10M) — stream it in the
             # same node blocks as the message/update chunking

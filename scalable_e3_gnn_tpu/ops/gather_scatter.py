@@ -249,10 +249,29 @@ def _tdr_bwd(res, g):
     f = g.shape[-1]
     gf = g.reshape(r * k, f)
     m, q = rev.shape
-    picked = jnp.take(
-        gf, rev.reshape(-1), axis=0, mode="fill", fill_value=0
-    ).reshape(m, q, f)
-    d_h = picked.sum(axis=1)
+    if q <= 16:
+        picked = jnp.take(
+            gf, rev.reshape(-1), axis=0, mode="fill", fill_value=0
+        ).reshape(m, q, f)
+        d_h = picked.sum(axis=1)
+    else:
+        # q-blocked accumulation: the one-shot gather materializes
+        # [m, q, F] — at q=38/625k rows/F=90 that is ~6 GB PER LAYER per
+        # device (the r3 16-chip config-5 AOT OOM); block the reverse
+        # table's columns and accumulate instead
+        B = 16
+        qp = -(-q // B) * B
+        revp = jnp.pad(rev, ((0, 0), (0, qp - q)),
+                       constant_values=r * k)  # pad slots read 0
+
+        def body(i, acc):
+            cols = jax.lax.dynamic_slice_in_dim(revp, i * B, B, axis=1)
+            p = jnp.take(gf, cols.reshape(-1), axis=0, mode="fill",
+                         fill_value=0).reshape(m, B, f)
+            return acc + p.sum(axis=1)
+
+        d_h = jax.lax.fori_loop(
+            0, qp // B, body, jnp.zeros((m, f), g.dtype))
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return d_h, z(senders), z(rev)
 

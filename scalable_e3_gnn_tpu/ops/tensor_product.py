@@ -541,13 +541,24 @@ class TensorProduct:
     def _call_gemm(self, wf: jnp.ndarray, in1: jnp.ndarray, in2: jnp.ndarray):
         lead = in1.shape[:-1]
         dt = in1.dtype
-        # z = outer(in1, in2), c2-major, as C2 lane-wide multiplies (2-D ops
-        # only so the same code lowers inside the generic fused Pallas kernel)
-        C2 = self.in2_dim
-        cols = [in1 * in2[..., c : c + 1] for c in range(C2)]
-        z = jnp.concatenate(cols, axis=-1) if C2 > 1 else cols[0]
-        out = jnp.matmul(z, wf.astype(dt), preferred_element_type=jnp.float32)
-        out = out.astype(dt)
+        # z-free folded GEMM: out = outer(in1, in2) @ W' evaluated as
+        # Σ_c (in1 · in2_c) @ W'_c — C2 narrow GEMMs with fp32 accumulation.
+        # Materializing z = [*, C1*C2] (the old one-wide-GEMM form) costs a
+        # [rows, ~1.6k] HBM round trip NOT fused by XLA: 12 GiB per message
+        # layer per device on the 10M-point mesh step, and the 32 GB
+        # concatenate that OOM'd the single-chip config-5 update layers.
+        # MXU efficiency is the same (K-dim = C1 per GEMM); the multiply
+        # fuses into each GEMM's producer.  (2-D ops only so the same code
+        # lowers inside the generic fused Pallas kernel.)
+        C1, C2 = self.in1_dim, self.in2_dim
+        wt = wf.astype(dt)
+        acc = None
+        for c in range(C2):
+            t = jnp.matmul(in1 * in2[..., c : c + 1],
+                           wt[c * C1 : (c + 1) * C1],
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        out = acc.astype(dt)
         if self.layout_out == "cm":
             return out
         parts = []

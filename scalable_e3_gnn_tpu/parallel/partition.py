@@ -158,18 +158,22 @@ def partition_graph_dense(
             f"caps ({NI},{NB}) < needed ({ni_need},{nb_need})"
         )
     hmax = max((len(h) for h in halos), default=0)
-    H = halo_cap if halo_cap is not None else max(hmax, 1)
-    if H < hmax:
-        raise ValueError(f"halo_cap={H} < max needed {hmax}")
-    npp = NI + NB
+    npp_probe = NI + NB
 
-    # exports + pool positions (same construction as partition_graph)
+    # exports + pool positions (same construction as partition_graph).
+    # The auto cap must cover BOTH sides: a partition's export set (union of
+    # every importer's needs from it) can exceed any single partition's halo
+    # (import) count — e.g. a partition bordering two others.
     all_halo = np.concatenate(halos) if hmax else np.zeros(0, senders.dtype)
     halo_own = owner(all_halo)
     exports = [np.unique(all_halo[halo_own == p]) for p in range(num_parts)]
     emax = max((len(e) for e in exports), default=0)
+    H = halo_cap if halo_cap is not None else max(hmax, emax, 1)
+    if H < hmax:
+        raise ValueError(f"halo_cap={H} < max needed {hmax}")
     if emax > H:
         raise ValueError(f"export count {emax} exceeds halo_cap {H}")
+    npp = NI + NB
     pool_pos_of = np.full(n, -1, np.int64)
     for p, exp in enumerate(exports):
         pool_pos_of[exp] = p * H + np.arange(len(exp))
@@ -357,21 +361,23 @@ def partition_graph(
         np.unique(run(ve_s, p)[run(own_s, p) != p]) for p in range(num_parts)
     ]
     hmax = max((len(h) for h in halos), default=0)
-    if halo_cap is None:
-        halo_cap = hmax
-    elif halo_cap < hmax:
-        raise ValueError(f"halo_cap={halo_cap} < max needed {hmax}")
-    H = halo_cap
 
     # --- exports: nodes each partition must contribute to the pool ---
     # export set of p = union over q of (halos[q] owned by p); halos only
-    # hold off-partition senders, so q == p contributes nothing to itself
+    # hold off-partition senders, so q == p contributes nothing to itself.
+    # The auto cap covers BOTH sides: an export set can exceed any single
+    # partition's import count (partition bordering several others).
     all_halo = (
         np.concatenate(halos) if hmax else np.zeros(0, senders.dtype)
     )
     halo_own = owner(all_halo)
     exports = [np.unique(all_halo[halo_own == p]) for p in range(num_parts)]
     emax = max((len(e) for e in exports), default=0)
+    if halo_cap is None:
+        halo_cap = max(hmax, emax)
+    elif halo_cap < hmax:
+        raise ValueError(f"halo_cap={halo_cap} < max needed {hmax}")
+    H = max(halo_cap, 1)
     if emax > H:
         raise ValueError(f"export count {emax} exceeds halo_cap {H}")
     # pool position of each exported gid: one vectorized fill per partition

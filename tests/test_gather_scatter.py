@@ -9,6 +9,7 @@ from scalable_e3_gnn_tpu.ops.gather_scatter import (
     segment_mean,
     segment_sum,
     spmm,
+    take_dense_rev,
 )
 
 
@@ -74,3 +75,35 @@ def test_sddmm_vs_dense():
     out = np.array(sddmm(jnp.asarray(a), jnp.asarray(b), jnp.asarray(s), jnp.asarray(r)))
     expect = (a @ b.T)[s, r]
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_take_dense_rev_qblocked_grad():
+    """q > 16 engages the blocked reverse-table accumulation in the VJP
+    (the one-shot [m, q, F] gather is a multi-GB temp at scale); gradients
+    must match the dense-path result exactly."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    m, r, k, f, q = 40, 30, 4, 6, 22
+    h = jnp.asarray(rng.standard_normal((m, f)), jnp.float32)
+    senders = jnp.asarray(rng.integers(0, m + 3, (r, k)), jnp.int32)
+    # build a correct rev table: positions where each row is the sender
+    flat = np.array(senders).reshape(-1)
+    rev = np.full((m, q), r * k, np.int32)
+    for row in range(m):
+        pos = np.nonzero(flat == row)[0][:q]
+        rev[row, : len(pos)] = pos
+    rev = jnp.asarray(rev)
+
+    def loss(h_):
+        out = take_dense_rev(h_, senders, rev)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(h)
+    # reference: the same function with the naive transpose (jnp.take grad)
+    def loss_ref(h_):
+        out = jnp.take(h_, senders, axis=0, mode="fill", fill_value=0)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref)(h)
+    np.testing.assert_allclose(np.array(g), np.array(g_ref), atol=1e-5)

@@ -123,7 +123,7 @@ def main():
             SG.SEGNNLayer._fused_messages_generic = orig
 
     print(f"fwd-only (tile=64): {run(64, 32, fwd_only=True):.0f} ms", flush=True)
-    for tile, bwd in ((64, 32), (64, 64), (128, 64), (64, 16), (128, 32)):
+    for tile, bwd in ((64, 64), (128, 128), (128, 64), (96, 96), (64, 128)):
         try:
             ms = run(tile, bwd)
             print(f"tile={tile} bwd={bwd}: {ms:.0f} ms/step", flush=True)
