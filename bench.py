@@ -174,6 +174,10 @@ def main():
     fwd = jax.jit(lambda p: model(p, graph_t, attrs=attrs))
     _, fwd_s = _timed(fwd, state.params, iters=10)
 
+    # free the 100k-config device buffers before the lmax=2 configs — the
+    # 1M block runs within ~1 GiB of HBM; leftover graphs/attrs/state tip it
+    del graph, graph_t, attrs, state, fwd, step, target, tree, edges
+
     # config-4 proxy: 250k points, lmax=2, K=16 — generic CG-folded-GEMM
     # fused kernel (full 1M measured separately: ~6.05 s/step)
     pts250 = rng.random((250_000, 3)).astype(np.float32)

@@ -632,11 +632,18 @@ class SEGNNLayer:
 
         n, k = senders.shape
         f = h_local.shape[-1]
-        # pad node rows to a multiple of the tile: grid-step overhead at
-        # tile=8/16 dominates otherwise (250k rows = 15625+ grid steps);
-        # r3 sweep at 250k lmax=2 (tools/exp_lmax2_tiles.py): 96/96 885 ms
-        # vs 64/64 895 ms vs 128/64 892 ms — modest but free
-        tile, bwd = 96, 96
+        # prefer a tile that divides n exactly: padding replicates the full
+        # [K, N, F]/geo operands through concat copies (at 1M that is
+        # multi-GB per layer and tipped config-4 out of HBM when a fixed
+        # 96 stopped dividing it).  Among exact divisors, larger is mildly
+        # better (r3 sweep, tools/exp_lmax2_tiles.py: 96/96 885 ms vs
+        # 64/64 895 ms at 250k); fall back to 64 + padding.
+        tile = 64
+        for t in range(128, 47, -16):
+            if n % t == 0:
+                tile = t
+                break
+        bwd = tile
         npad = -(-n // tile) * tile
         key = (k, npad)
         if key not in self._generic_kernels:
