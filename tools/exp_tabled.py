@@ -46,7 +46,7 @@ def main():
     params = model.init(jax.random.key(0))
     layer = model.layers[0]
     attrs = jax.jit(model.compute_attributes_dense)(graph)
-    edge_attr, node_attr, dist2 = attrs
+    edge_attr, node_attr, dist2 = attrs[:3]
 
     n, k = graph.senders.shape
     f = layer.hidden_irreps.dim
