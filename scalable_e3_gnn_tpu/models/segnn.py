@@ -643,7 +643,20 @@ class SEGNNLayer:
             if n % t == 0:
                 tile = t
                 break
+        # the fallback backward (remat_kernel mode) replays the forward
+        # under an in-kernel jax.vjp — roughly 2x the live VMEM of the
+        # residual backward; cap its tile near the validated 64.  The bwd
+        # tile must also divide the padded row count (a multiple of tile),
+        # so pick the largest such divisor <= 64.
         bwd = tile
+        if self.remat_kernel and tile > 80:
+            # 64 and 80 are chip-validated in fallback mode (1M ran b80 at
+            # 5205 ms; b64 cost 1.5%); larger is untested VMEM territory
+            npad_probe = -(-n // tile) * tile
+            for b in (80, 64, 48, 32, 16, 8):
+                if npad_probe % b == 0:
+                    bwd = b
+                    break
         npad = -(-n // tile) * tile
         key = (k, npad)
         if key not in self._generic_kernels:

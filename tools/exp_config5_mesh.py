@@ -7,7 +7,17 @@ definition (BASELINE.md ladder: "multi-host halo exchange, N>=2"), so the
 required evidence is: (a) the partitioner + caps + distributed step hold at
 REAL 10M shapes, (b) per-device memory at P=8 (1.25M nodes/device) is
 config-4 scale, which the real chip already runs.  This script executes one
-full distributed train step at 10M on the 8-virtual-device CPU mesh.
+full distributed train step on the 8-virtual-device CPU mesh.
+
+CPU-farm ceiling (r3 measured): two independent XLA:CPU artifacts cap
+execution on this 2-core host well below 10M — (a) the backend allocates
+its whole buffer-assignment as one up-front temp arena (~148 GiB at 1M
+points, no TPU-style reuse), and (b) the in-process collective rendezvous
+times out when per-device compute runs minutes on an oversubscribed host
+(8 virtual devices / 2 cores), so the step executes only at test/dryrun
+scale here.  Partition + sharding + distributed geometry run fine at full
+10M shapes; the per-chip TPU accounting is the relevant one
+(exp_config5_tpu_aot.py: 14.69 GiB/chip at 10M, P=16, within HBM).
 
 Run:  env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
           XLA_FLAGS=--xla_force_host_platform_device_count=8 \
