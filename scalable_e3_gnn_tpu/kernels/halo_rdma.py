@@ -59,6 +59,18 @@ def _ring_kernel(num_devices, axis_name, x_ref, out_ref, send_sem, recv_sem, cop
 
 
 def _fwd(x, axis_name, num_devices, collective_id, interpret):
+    # Mosaic requires the ring's per-slot DMA slices (out_ref.at[slot]) to be
+    # aligned to the (8, 128) tiling: pad H to sublanes and F to lanes, run
+    # the ring on the padded pool, slice back.  Found by AOT-compiling for a
+    # real v5e 4-chip topology — interpret mode does not model DMA alignment
+    # (same class as the r2 lane-offset concat bug).
+    h0, f0 = x.shape
+    hp = -(-h0 // 8) * 8
+    fp = -(-f0 // 128) * 128
+    if (hp, fp) != (h0, f0):
+        x = jnp.pad(x, ((0, hp - h0), (0, fp - f0)))
+        out = _fwd(x, axis_name, num_devices, collective_id, interpret)
+        return out[:, :h0, :f0]
     h, f = x.shape
     out = pl.pallas_call(
         functools.partial(_ring_kernel, num_devices, axis_name),

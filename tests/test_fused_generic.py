@@ -137,3 +137,18 @@ def test_residual_bwd_matches_recompute_bwd():
 # interpret mode — jax.checkpoint rejects the ordered-IO effects interpret-
 # mode pallas_call carries.  Its numerical parity is jax.checkpoint's
 # contract; the 1M-point config-4 run drives it on real hardware.
+
+
+def test_geo_only_attrs_matches_full():
+    """The packed geo stream alone (attrs = (None, node_attr, None, geo))
+    must reproduce the full-attrs forward — the config-4/5 bench protocol
+    drops the raw edge_attr/dist2 argument buffers entirely."""
+    m_ref, m_pal = _models()
+    g = _graph(128, seed=6)
+    params = m_ref.init(jax.random.key(5))
+    attrs = m_pal.compute_attributes_dense(g)
+    with pltpu.force_tpu_interpret_mode():
+        full = np.array(m_pal(params, g, attrs=attrs))
+        geoonly = np.array(
+            m_pal(params, g, attrs=(None, attrs[1], None, attrs[3])))
+    np.testing.assert_allclose(geoonly, full, atol=1e-6)

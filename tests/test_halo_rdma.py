@@ -81,3 +81,32 @@ def test_exchange_halo_backends_agree():
     out_xla = np.array(make("xla")(h, bidx, hmap))
     out_rdma = np.array(make("rdma")(h, bidx, hmap))
     np.testing.assert_array_equal(out_xla, out_rdma)
+
+
+def test_ring_aot_compiles_for_real_topology():
+    """AOT-compile the ring for a REAL v5e 4-chip topology (compile-only
+    libtpu) — interpret mode does not model DMA slice alignment, which is
+    exactly how an unaligned-F bug shipped in r2/r3 ('slice shape along
+    dimension 2 must be aligned to tiling'); the ring now pads H/F to the
+    (8, 128) tiling internally."""
+    import pytest
+
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x2x1")
+    except Exception as ex:  # no local libtpu / unsupported
+        pytest.skip(f"no compile-only TPU topology here: {ex}")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(topo.devices).reshape(4), ("graph",))
+
+    def fwd(x):
+        def local(a):
+            return ring_all_gather(a[0], "graph", 4)[None]
+        return jax.shard_map(local, mesh=mesh, in_specs=P("graph"),
+                             out_specs=P("graph"), check_vma=False)(x)
+
+    sds = jax.ShapeDtypeStruct((4, 117, 90), jnp.float32,
+                               sharding=NamedSharding(mesh, P("graph")))
+    jax.jit(fwd).lower(sds).compile()  # raises on any Mosaic/HBM failure
