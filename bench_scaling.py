@@ -166,9 +166,9 @@ def config5_single_chip(iters: int, chunks: int, points: int) -> None:
     )
     params = model.init(jax.random.key(0))
 
-    # chunked bf16 attribute build: lax.map over node slabs (legacy 3-tuple —
-    # the chunked message path rebuilds per-chunk geometry, so the [N, K, 11]
-    # edge_geo stream is never needed)
+    # chunked bf16 attribute build: lax.map over node slabs, emitting only
+    # the packed geo stream + node attrs (geo-only attrs; a one-shot fp32
+    # [N, K, 9] sh build would transiently need ~12 GB at 10M)
     bf = jnp.bfloat16
     # ~1M-point attr slabs, but nchunk must divide points exactly
     nchunk = max(points // 1_000_000, 1)
