@@ -1,12 +1,15 @@
 """QM9-style molecular graphs: variable-size padded batching (config 2,
 BASELINE.json:8).
 
-The sandbox has no network access, so this module ships a *synthetic* QM9
-stand-in with the same data interface: molecules of 3..29 atoms, 5 species
-(H C N O F one-hot), 3D conformer-like geometry, and a smooth rotation-
-invariant scalar target (a function of the pairwise-distance spectrum, so a
-model must use geometry to fit it).  Swap ``generate_molecules`` for a real
-QM9 loader when data is available — the batching/padding path is identical.
+``load_qm9`` parses real dsgdb9nsd .xyz records (test-backed against
+verbatim-format fixtures in tests/fixtures/qm9, including the ``*^``
+Fortran-notation floats); point it — or ``QM9_DIR`` for the accuracy gate —
+at a downloaded dataset.  The sandbox has no network access, so the module
+also ships a *synthetic* stand-in with the same data interface: molecules of
+3..29 atoms, 5 species (H C N O F one-hot), 3D conformer-like geometry, and
+a smooth rotation-invariant scalar target (a function of the pairwise-
+distance spectrum, so a model must use geometry to fit it).  The
+batching/padding path is identical for both sources.
 """
 
 from __future__ import annotations

@@ -2,16 +2,29 @@
 
 The explicit-overlap communication backend (SURVEY.md §7 hard part 2): the
 boundary-feature pool is assembled by a ring of ``make_async_remote_copy``
-RDMAs over ICI instead of an XLA all_gather.  Because the kernel owns the
-DMA schedule, later rounds' sends overlap earlier rounds' waits, and the
-collective can be interleaved with independent compute by the caller.
+RDMAs over ICI instead of an XLA all_gather.  The ring runs the classic
+pipelined schedule: round ``s``'s send is gated ONLY on round ``s-1``'s
+receive (the data dependency — the chunk forwarded at round s is the one
+that arrived at round s-1); the send-*completion* waits are deferred to the
+end of the ring, so round s+1's outgoing DMA is in flight while round s's
+is still draining.  Each round uses its own send/recv semaphore pair
+(``SemaphoreType.DMA((p-1,))`` scratch arrays) — byte-counting on a shared
+semaphore could otherwise satisfy round s-1's recv wait with round s's
+early-arriving bytes and forward a half-written slot.
+
+Status vs XLA all_gather: the schedule above removes the send-completion
+serialization the r3 sequential ring had, and the kernel AOT-compiles for a
+real v5e 4-chip topology (tests/test_halo_rdma.py, fp32 + bf16).  There is
+still no *measured* advantage over XLA's scheduler-overlapped all_gather
+(one-chip sandbox — a ring cannot be timed), so the default backend remains
+``"xla"``; this kernel is the structural proof that the halo exchange can
+own its DMA schedule (per-round granularity for future compute interleave).
 
 Gradient: the transpose of an all-gather is a reduce-scatter; the backward
 uses XLA's psum_scatter (overlap is less critical on the backward, and the
 collective matches the forward's communication volume).
 
-Used by ``parallel.halo.exchange_halo(..., backend='rdma')``; the default
-backend remains the XLA all_gather (equally correct, scheduler-overlapped).
+Used by ``parallel.halo.exchange_halo(..., backend='rdma')``.
 """
 
 from __future__ import annotations
@@ -39,47 +52,60 @@ def _ring_kernel(num_devices, axis_name, x_ref, out_ref, send_sem, recv_sem, cop
 
     # no global barrier needed: every remote write targets slot ``sender_id``
     # on the receiver, which the receiver itself never writes (its local copy
-    # fills its own slot), and each device's next send is gated on its own
-    # recv wait — the ring stays in lockstep.
+    # fills its own slot), and each device's round-s send is gated on its own
+    # round-(s-1) recv wait — the ring stays in lockstep.
 
-    # statically unrolled ring (p is a compile-time constant); the chunk we
-    # forward at step s is the one received at step s-1 (ours at step 0)
+    # statically unrolled pipelined ring (p is a compile-time constant); the
+    # chunk we forward at round s is the one received at round s-1 (ours at
+    # round 0).  Per-round semaphores: in-flight rounds must not alias.
+    rdmas = []
     for step in range(p - 1):
         slot = lax.rem(my_id + p - step, p)
         rdma = pltpu.make_async_remote_copy(
             src_ref=out_ref.at[slot],
             dst_ref=out_ref.at[slot],
-            send_sem=send_sem,
-            recv_sem=recv_sem,
+            send_sem=send_sem.at[step],
+            recv_sem=recv_sem.at[step],
             device_id=right,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
+        if step > 0:
+            # data gate only: the previous round's chunk has ARRIVED;
+            # its send completion is drained after the loop
+            rdmas[step - 1].wait_recv()
         rdma.start()
-        rdma.wait()
+        rdmas.append(rdma)
+    for r in rdmas:
+        r.wait_send()
+    if rdmas:
+        rdmas[-1].wait_recv()
 
 
 def _fwd(x, axis_name, num_devices, collective_id, interpret):
     # Mosaic requires the ring's per-slot DMA slices (out_ref.at[slot]) to be
-    # aligned to the (8, 128) tiling: pad H to sublanes and F to lanes, run
-    # the ring on the padded pool, slice back.  Found by AOT-compiling for a
-    # real v5e 4-chip topology — interpret mode does not model DMA alignment
-    # (same class as the r2 lane-offset concat bug).
+    # aligned to the native tiling: pad H to the dtype's sublane tile
+    # (fp32 8 / bf16 16 / int8+fp8 32 — 32 bytes of sublanes) and F to 128
+    # lanes, run the ring on the padded pool, slice back.  Found by
+    # AOT-compiling for a real v5e 4-chip topology — interpret mode does not
+    # model DMA alignment (same class as the r2 lane-offset concat bug).
     h0, f0 = x.shape
-    hp = -(-h0 // 8) * 8
+    sub = max(32 // x.dtype.itemsize, 8)
+    hp = -(-h0 // sub) * sub
     fp = -(-f0 // 128) * 128
     if (hp, fp) != (h0, f0):
         x = jnp.pad(x, ((0, hp - h0), (0, fp - f0)))
         out = _fwd(x, axis_name, num_devices, collective_id, interpret)
         return out[:, :h0, :f0]
     h, f = x.shape
+    nsem = max(num_devices - 1, 1)
     out = pl.pallas_call(
         functools.partial(_ring_kernel, num_devices, axis_name),
         out_shape=jax.ShapeDtypeStruct((num_devices, h, f), x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((nsem,)),
+            pltpu.SemaphoreType.DMA((nsem,)),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -316,6 +316,21 @@ class SEGNNLayer:
         def msgs_block(msg_params, h_ext_, h_local_b, senders_b, edge_attr_b,
                        dist2_b, mask_b, geo_b):
             """Message MLP + K-sum over a block of nodes (pallas or jnp)."""
+            if edge_attr_b is None:
+                # geo-only attrs (config-5 protocol): unpack the packed
+                # stream BEFORE any dispatch — the lmax=1 Pallas kernels
+                # take separate attr/d2/mask operands.  The generic kernel
+                # reads geo_b directly (_geo2), so its unpacked copies are
+                # dead and XLA DCEs them.
+                if geo_b is None:
+                    raise ValueError(
+                        "attrs gave neither edge_attr nor edge_geo"
+                    )
+                g3 = geo_b.reshape(geo_b.shape[0], k, -1)
+                a_dim = g3.shape[-1] - 2
+                edge_attr_b = g3[..., :a_dim]
+                dist2_b = g3[..., a_dim]
+                mask_b = g3[..., a_dim + 1] > 0
             if self.use_pallas and gt is not None and h_ext_ is h_local_b:
                 return self._fused_messages_tabled(
                     msg_params, h_local_b, edge_attr_b, dist2_b, mask_b, gt,
@@ -331,13 +346,6 @@ class SEGNNLayer:
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
                     dist2_b, mask_b, reverse_slot=rs, edge_geo=geo_b,
                 )
-            if edge_attr_b is None:
-                # geo-only streaming (config 5): unpack the packed stream
-                g3 = geo_b.reshape(geo_b.shape[0], k, -1)
-                a_dim = g3.shape[-1] - 2
-                edge_attr_b = g3[..., :a_dim]
-                dist2_b = g3[..., a_dim]
-                mask_b = g3[..., a_dim + 1] > 0
             if rs is not None and h_ext_ is h_local_b:
                 hs = take_dense_symmetric(h_ext_, senders_b, rs, mask_b)
             else:
@@ -851,6 +859,67 @@ class SEGNN:
         # copy (the r3 config-5 OOM #1); lane-dense rows avoid both
         return edge_attr, node_attr, dist2, edge_geo.reshape(
             edge_geo.shape[0], -1)
+
+    def compute_attributes_dense_chunked(
+        self,
+        positions: jnp.ndarray,  # [N, 3]
+        senders: jnp.ndarray,  # [N, K]
+        edge_mask: jnp.ndarray,  # [N, K]
+        nchunk: Optional[int] = None,
+        dtype=jnp.bfloat16,
+    ):
+        """Geo-only attrs for 10M-class graphs, built in node slabs.
+
+        Returns the geo-only 4-tuple ``(None, node_attr, None, edge_geo)``:
+        no raw [N, K, A] edge_attr (at 10M it becomes a dead HBM argument
+        buffer or a whole-graph relayout temp — the r3 config-5 OOM) and no
+        separate dist2 — the fused kernels read both from the packed
+        ``edge_geo`` stream.  The slab ``lax.map`` caps the fp32 sh transient
+        at [N/nchunk, K, A] (a one-shot fp32 [N, K, 9] build would need
+        ~12 GB at 10M); outputs are cast to ``dtype`` (bf16 production).
+
+        Matches ``compute_attributes_dense`` exactly on the emitted streams
+        (rel masked before dist2, so padding slots carry geo = 0 ‖ 0 ‖ 0).
+        Takes raw arrays (not the graph) so callers can jit it with the
+        arrays as ARGUMENTS — closure constants embed in the serialized
+        module and blow the remote-compile request body at 10M points.
+        ``vel_attr`` models are unsupported (no velocity stream at the
+        point-cloud configs this path exists for).
+        """
+        if self.vel_attr:
+            raise NotImplementedError(
+                "chunked attrs have no velocity stream; use "
+                "compute_attributes_dense"
+            )
+        n, k = senders.shape
+        if nchunk is None:
+            nchunk = max(n // 1_000_000, 1)
+        while nchunk > 1 and n % nchunk:
+            nchunk -= 1
+        c = n // nchunk
+
+        def attr_chunk(i):
+            sl = i * c
+            d = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, c, axis=0)
+            sd, mk = d(senders), d(edge_mask)
+            xs = jnp.take(positions, jnp.minimum(sd, n - 1), axis=0)
+            rel = xs - d(positions)[:, None, :]
+            rel = jnp.where(mk[..., None], rel, 0.0)
+            dist2 = jnp.sum(rel * rel, axis=-1)
+            ea = spherical_harmonics(self.lmax_attr, rel)
+            ea = jnp.where(mk[..., None], ea, 0.0)
+            cnt = jnp.maximum(mk.sum(axis=1), 1)
+            na = ea.sum(axis=1) / cnt[:, None].astype(ea.dtype)
+            na = na.at[..., 0].set(1.0)
+            geo = jnp.concatenate(
+                [ea, dist2[..., None], mk[..., None].astype(ea.dtype)],
+                axis=-1,
+            )
+            return geo.astype(dtype), na.astype(dtype)
+
+        geo, na = jax.lax.map(attr_chunk, jnp.arange(nchunk))
+        a2 = geo.shape[-1]
+        return (None, na.reshape(n, -1), None, geo.reshape(n, k * a2))
 
     def _forward_dense(
         self,

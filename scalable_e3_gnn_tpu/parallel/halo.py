@@ -323,9 +323,15 @@ def make_dist_train_step_dense(
         return new_state, {"loss": loss}
 
     jstep = jax.jit(step, donate_argnums=(0,))
-    return lambda state, shard, target, attrs=None: jstep(
-        replicate_to_mesh(state, mesh), shard, target, attrs or ()
-    )
+
+    def wrapper(state, shard, target, attrs=None):
+        return jstep(replicate_to_mesh(state, mesh), shard, target, attrs or ())
+
+    # the lowerable jitted step, as API: AOT tooling (tools/exp_config5_tpu_aot,
+    # tests/test_kernels_aot_tpu) calls .jit_step.lower(...) for real-topology
+    # compiles — do not make it rummage the wrapper's closure
+    wrapper.jit_step = jstep
+    return wrapper
 
 
 def _local_forward(
@@ -493,6 +499,9 @@ def make_dist_train_step(
         return new_state, {"loss": loss}
 
     jstep = jax.jit(step, donate_argnums=(0,))
-    return lambda state, shard, target: jstep(
-        replicate_to_mesh(state, mesh), shard, target
-    )
+
+    def wrapper(state, shard, target):
+        return jstep(replicate_to_mesh(state, mesh), shard, target)
+
+    wrapper.jit_step = jstep  # lowerable step for AOT tooling (see dense twin)
+    return wrapper

@@ -158,7 +158,6 @@ def partition_graph_dense(
             f"caps ({NI},{NB}) < needed ({ni_need},{nb_need})"
         )
     hmax = max((len(h) for h in halos), default=0)
-    npp_probe = NI + NB
 
     # exports + pool positions (same construction as partition_graph).
     # The auto cap must cover BOTH sides: a partition's export set (union of

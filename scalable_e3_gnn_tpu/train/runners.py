@@ -338,18 +338,33 @@ def run_pointcloud(
         # at >=500k points the per-layer packed-stream residuals no longer
         # fit HBM; trade one extra in-kernel forward per layer for them
         remat_kernel=cfg.model.remat and n >= 500_000,
-        # at 10M-class sizes also checkpoint whole layers: the backward
-        # then retains only the [N, F] layer boundaries (bench_scaling
-        # --config5 HBM math)
-        remat_layers=n > 2_000_000,
+        # at 10M-class sizes also checkpoint whole layers IN PAIRS — the
+        # chip-validated config-5 setting (bench_scaling config5_single_chip;
+        # 4 x 1.79 GB boundaries -> 2 x 1.79 GB is what closes the budget)
+        remat_layers=2 if n > 2_000_000 else 0,
     )
     params = model.init(jax.random.key(seed))
-    attrs = jax.jit(model.compute_attributes_dense)(graph)
-    if cfg.train.bf16:
-        graph = graph._replace(nodes=graph.nodes.astype(jnp.bfloat16))
-        attrs = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, attrs
-        )
+    if n > 2_000_000:
+        # mirror the chip-validated config5_single_chip protocol: chunked
+        # bf16 attr build (a one-shot fp32 [N, K, A] sh would transiently
+        # need ~12 GB at 10M) emitting geo-only attrs — passing the raw
+        # edge_attr too hands XLA a whole-graph relayout temp (r3 OOM #1)
+        adt = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+        attrs = jax.jit(
+            lambda pos, snd, msk: model.compute_attributes_dense_chunked(
+                pos, snd, msk, dtype=adt
+            )
+        )(graph.positions, graph.senders, graph.edge_mask)
+        if cfg.train.bf16:
+            graph = graph._replace(nodes=graph.nodes.astype(jnp.bfloat16))
+    else:
+        attrs = jax.jit(model.compute_attributes_dense)(graph)
+        if cfg.train.bf16:
+            graph = graph._replace(nodes=graph.nodes.astype(jnp.bfloat16))
+            attrs = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                attrs,
+            )
 
     opt = optax.adam(cfg.train.learning_rate)
 

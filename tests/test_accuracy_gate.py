@@ -80,14 +80,30 @@ def test_nbody_accuracy_gate():
 
 def test_qm9_accuracy_gate():
     """Config 2 (QM9-style graph regression): 250 fixed-seed steps must
-    reach the pinned loss (~10x under the target variance)."""
+    reach the pinned loss (~10x under the target variance).
+
+    Runs on the synthetic stand-in by default (no network in this sandbox);
+    point ``QM9_DIR`` at a real dsgdb9nsd download to gate on real data —
+    targets are then standardized so the pinned loss ratio still applies.
+    """
+    import os
+
     from scalable_e3_gnn_tpu.data.qm9 import (
         NUM_SPECIES,
         batch_molecules,
         generate_molecules,
+        load_qm9,
     )
 
-    mols = generate_molecules(48, seed=2)
+    qm9_dir = os.environ.get("QM9_DIR")
+    if qm9_dir:
+        mols = load_qm9(qm9_dir, target="U0", limit=48)
+        mu = float(np.mean([m["target"] for m in mols]))
+        sd = float(np.std([m["target"] for m in mols])) or 1.0
+        for m in mols:
+            m["target"] = (m["target"] - mu) / sd
+    else:
+        mols = generate_molecules(48, seed=2)
     g, targets = batch_molecules(mols)
     model = SEGNN(
         Irreps(f"{NUM_SPECIES}x0e"), Irreps("16x0e+8x1o"), Irreps("1x0e"),

@@ -75,3 +75,43 @@ def test_dense_rel_positions_masked():
     norms = np.linalg.norm(rel[mask], axis=-1)
     assert (norms <= 0.7 + 1e-5).all()
     assert (norms > 0).all()
+
+
+@pytest.mark.parametrize("lmax", [1, 2])
+def test_chunked_attrs_match_one_shot(lmax):
+    """compute_attributes_dense_chunked ≡ compute_attributes_dense on the
+    streams it emits (node_attr + packed geo), for both sh orders."""
+    tree, e, feats = _problem(seed=3, n=320)
+    g = DenseEdgeGraph.from_radius_edges(feats, tree.points, e)
+    model = SEGNN(
+        Irreps("2x0e+1x1o"), Irreps("8x0e+8x1o"), Irreps("1x1o"),
+        num_layers=2, lmax_attr=lmax,
+    )
+    _, na, _, geo = jax.jit(model.compute_attributes_dense)(g)
+    out = jax.jit(
+        lambda pos, snd, msk: model.compute_attributes_dense_chunked(
+            pos, snd, msk, nchunk=4, dtype=jnp.float32
+        )
+    )(g.positions, g.senders, g.edge_mask)
+    assert out[0] is None and out[2] is None
+    np.testing.assert_allclose(np.array(out[1]), np.array(na), atol=1e-6)
+    np.testing.assert_allclose(np.array(out[3]), np.array(geo), atol=1e-6)
+
+
+@pytest.mark.parametrize("chunks", [1, 4])
+def test_geo_only_attrs_lmax1(chunks):
+    """The geo-only 4-tuple (config-5 protocol) must work — and match full
+    attrs — on the lmax=1 path too (jnp fallback here; the Pallas dispatch
+    shares the same pre-dispatch unpack)."""
+    tree, e, feats = _problem(seed=4, n=320)
+    g = DenseEdgeGraph.from_radius_edges(feats, tree.points, e)
+    model = SEGNN(
+        Irreps("2x0e+1x1o"), Irreps("8x0e+8x1o"), Irreps("1x1o"),
+        num_layers=2, lmax_attr=1, edge_chunks=chunks,
+    )
+    params = model.init(jax.random.key(0))
+    full = jax.jit(model.compute_attributes_dense)(g)
+    geo_only = (None, full[1], None, full[3])
+    ref = np.array(model(params, g, attrs=full))
+    out = np.array(model(params, g, attrs=geo_only))
+    np.testing.assert_allclose(out, ref, atol=2e-5)

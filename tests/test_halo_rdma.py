@@ -83,14 +83,14 @@ def test_exchange_halo_backends_agree():
     np.testing.assert_array_equal(out_xla, out_rdma)
 
 
-def test_ring_aot_compiles_for_real_topology():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ring_aot_compiles_for_real_topology(dtype):
     """AOT-compile the ring for a REAL v5e 4-chip topology (compile-only
     libtpu) — interpret mode does not model DMA slice alignment, which is
     exactly how an unaligned-F bug shipped in r2/r3 ('slice shape along
-    dimension 2 must be aligned to tiling'); the ring now pads H/F to the
-    (8, 128) tiling internally."""
-    import pytest
-
+    dimension 2 must be aligned to tiling'); the ring now pads H to the
+    dtype's sublane tile (8 fp32 / 16 bf16) and F to 128 lanes internally.
+    H=117 exercises both pads: not a multiple of 8 or 16."""
     try:
         from jax.experimental import topologies
         topo = topologies.get_topology_desc(platform="tpu",
@@ -107,6 +107,6 @@ def test_ring_aot_compiles_for_real_topology():
         return jax.shard_map(local, mesh=mesh, in_specs=P("graph"),
                              out_specs=P("graph"), check_vma=False)(x)
 
-    sds = jax.ShapeDtypeStruct((4, 117, 90), jnp.float32,
+    sds = jax.ShapeDtypeStruct((4, 117, 90), dtype,
                                sharding=NamedSharding(mesh, P("graph")))
     jax.jit(fwd).lower(sds).compile()  # raises on any Mosaic/HBM failure

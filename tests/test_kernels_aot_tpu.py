@@ -142,8 +142,7 @@ def test_dist_train_step_compiles_for_tpu(tpu_device):
                                  sharding=NamedSharding(mesh, P("graph")))
     opt = optax.adam(1e-3)
     wrapper = H.make_dist_train_step_dense(model, opt, mesh, compute_dtype=bf)
-    jstep = [c.cell_contents for c in wrapper.__closure__
-             if callable(getattr(c.cell_contents, "lower", None))][0]
+    jstep = wrapper.jit_step  # the lowerable step, exposed as API (r4)
     st = make_train_state(model.init(jax.random.key(0)), opt)
     rep = NamedSharding(mesh, P())
     st_s = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,

@@ -100,3 +100,35 @@ def test_load_qm9_parses_real_format(tmp_path):
         load_qm9(str(tmp_path / "missing"))
     with pytest.raises(ValueError):
         load_qm9(str(tmp_path), target="nope")
+
+
+def test_load_qm9_committed_fixtures():
+    """End-to-end on VERBATIM-format dsgdb9nsd records committed as fixtures
+    (tests/fixtures/qm9): tab-separated 'gdb <idx>' property line, Mulliken
+    charge column, trailing frequency/SMILES/InChI lines, and a ``*^``
+    Fortran-notation float (water record, H z-coordinate 8.001*^-6)."""
+    import os
+
+    from scalable_e3_gnn_tpu.data.qm9 import load_qm9
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "qm9")
+    mols = load_qm9(fdir, target="U0")
+    assert len(mols) == 3  # CH4, NH3, H2O in gdb order
+    ch4, nh3, h2o = mols
+    assert ch4["species"].tolist() == [1, 0, 0, 0, 0]
+    assert nh3["species"].tolist() == [2, 0, 0, 0]
+    assert h2o["species"].tolist() == [3, 0, 0]
+    assert abs(ch4["target"] - (-40.47893)) < 1e-9
+    assert abs(h2o["target"] - (-76.404702)) < 1e-9
+    # the *^ branch: 8.001*^-6 -> 8.001e-6
+    assert abs(h2o["positions"][1, 2] - 8.001e-6) < 1e-12
+    # a different property column resolves correctly too
+    gaps = [m["target"] for m in load_qm9(fdir, target="gap")]
+    np.testing.assert_allclose(gaps, [0.5048, 0.3399, 0.3615])
+
+    # full path: batch + model forward on real-format molecules
+    g, t = batch_molecules(mols)
+    model = _model()
+    params = model.init(jax.random.key(3))
+    out = np.array(model(params, g))
+    assert out.shape == (3, 1) and np.isfinite(out).all()

@@ -46,8 +46,7 @@ tgt_s = jax.ShapeDtypeStruct((PARTS, part.n_per_part, 3), jnp.float32,
                              sharding=NamedSharding(mesh, P("graph")))
 opt = optax.adam(1e-3)
 wrapper = H.make_dist_train_step_dense(model, opt, mesh, compute_dtype=bf)
-jstep = [c.cell_contents for c in wrapper.__closure__
-         if callable(getattr(c.cell_contents, "lower", None))][0]
+jstep = wrapper.jit_step  # the lowerable step, exposed as API (r4)
 st = make_train_state(model.init(jax.random.key(0)), opt)
 rep = NamedSharding(mesh, P())
 st_s = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
