@@ -260,7 +260,23 @@ def main():
     ap.add_argument("--config5", action="store_true",
                     help="single-chip 10M-point lmax=2 train step")
     ap.add_argument("--chunks", type=int, default=25)
+    ap.add_argument("--project", action="store_true",
+                    help="config-5 projected scaling efficiency at 16 chips"
+                         " / 4 hosts from MEASURED inputs: real-chip "
+                         "per-shard step at P=16 partition shapes + halo "
+                         "stats + public v5e link specs "
+                         "(tools/exp_scaling_projection.py)")
     args = ap.parse_args()
+
+    if args.project:
+        import os
+        import runpy
+
+        runpy.run_path(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "exp_scaling_projection.py"),
+            run_name="__main__")
+        return
 
     if args.config5:
         pts = args.points if args.points != 50_000 else 10_000_000

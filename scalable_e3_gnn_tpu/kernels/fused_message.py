@@ -58,7 +58,8 @@ from jax.experimental.pallas import tpu as pltpu
 CG110 = 1.0 / math.sqrt(3.0)
 CG011 = 1.0 / math.sqrt(3.0)
 
-__all__ = ["MessageConfig", "fused_message_aggregate", "fused_message_aggregate_tabled"]
+__all__ = ["MessageConfig", "fused_message_aggregate",
+           "fused_message_aggregate_km", "fused_message_aggregate_tabled"]
 
 
 @dataclass(frozen=True)
@@ -239,11 +240,60 @@ def _layer_bwd(res, d_m0, d_m1, scols, vV, vH, W0, W1S, BD, hs, hv, p, dt):
 def _expand_matrix(T, K, dtype):
     """[T*K, T] 0/1 matrix: E @ x repeats each of x's T rows K times; E.T @ m
     sums each K-row group.  Replaces sublane reshapes (which Mosaic rejects,
-    esp. for bf16 tilings) with trivially cheap MXU matmuls."""
+    esp. for bf16 tilings) with trivially cheap MXU matmuls.  Only the
+    pack>1 kernels still use this — the slot-major (km) kernels below
+    replace both E matmuls with slice/concat forms (the r3 generic-kernel
+    rework measured the dense-E machinery as most of its overhead floor)."""
     R = T * K
     grp = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0) // K
     tgt = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
     return (grp == tgt).astype(dtype)
+
+
+# ---- slot-major helpers (row k*T + t = edge slot k of node t) ----
+# Mirrors fused_message_generic.py: the receiver repeat is a sublane concat
+# of K aliases, the K-slot sum is K static sublane slices + adds, the [K, T,
+# F] VMEM block assembles by K leading-dim reads + one concat, and geometry
+# arrives node-major lane-dense and relayouts through a VMEM scratch.  All
+# 2-D slice/concat ops Mosaic lowers directly — no dense expand matmuls.
+
+
+def _rep_rows_km(x, k):
+    """[T, F] -> [K*T, F]: row k*T+t = x[t] (one sublane concat)."""
+    return jnp.concatenate([x] * k, axis=0) if k > 1 else x
+
+
+def _ksum_km(m, k):
+    """[K*T, F] -> [T, F] per-node slot sum in fp32 (transpose of
+    ``_rep_rows_km``)."""
+    t = m.shape[0] // k
+    acc = m[0:t].astype(jnp.float32)
+    for i in range(1, k):
+        acc = acc + m[i * t : (i + 1) * t].astype(jnp.float32)
+    return acc
+
+
+def _assemble_km(ref, k):
+    """[K, T, F] VMEM block -> [K*T, F] slot-major rows."""
+    if k == 1:
+        return ref[0]
+    return jnp.concatenate([ref[i] for i in range(k)], axis=0)
+
+
+def _geo_rows_km(geo_ref, geo_scr, tile, k, a):
+    """[T, K*(a+2)] node-major packed geometry -> (d2, attr, mask) [K*T, ·]
+    via K lane slices staged through a VMEM scratch (a direct sublane concat
+    of lane slices fails on hardware: unequal lane offsets on the non-concat
+    dim — see fused_message_generic._geo_rows)."""
+    g = geo_ref[:]
+    G = a + 2
+    if k == 1:
+        rows = g
+    else:
+        for i in range(k):
+            geo_scr[i * tile : (i + 1) * tile, :] = g[:, i * G : (i + 1) * G]
+        rows = geo_scr[:]
+    return rows[:, a : a + 1], rows[:, :a], rows[:, a + 1 : a + 2]
 
 
 def _build_inputs(cfg, hs_t, hrr, d2, attr, p):
@@ -656,6 +706,224 @@ def _vjp_bwd(cfg, residuals, d_agg):
 
 
 fused_message_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Slot-major (km) variant — the production lmax=1 bench path since r4.
+#
+# Same math as the v2 stacked-lane kernel above, but with the generic
+# kernel's slot-major row order (row k*T + t = slot k of node t), which
+# removes every dense-E expand matmul:
+#   - senders arrive [K, N, F] (``h[senders.T]`` — already the gather order
+#     of take_dense_symmetric_km); the VMEM block assembles by K leading
+#     reads + one sublane concat;
+#   - the receiver repeat is ``concat([hr] * K)``; the K-slot sum is K
+#     static sublane slices + adds (its transpose);
+#   - geometry rides ONE node-major lane-dense [N, K*(A+2)] operand
+#     (attr ‖ d2 ‖ mask — precomputed by compute_attributes_dense) and
+#     relayouts to per-slot rows through a VMEM scratch.
+# The r3 generic-kernel rework measured the dense-E machinery as the bulk
+# of its overhead floor (docs/PERF.md); this applies the same fix to the
+# lmax=1 kernel, which had been stuck at ~297.8 ms/step for three rounds.
+# pack>1 keeps the t-major kernel (measured-rejected anyway, default 1).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_km(cfg: MessageConfig, hs_ref, hr_ref, geo_ref,
+                   w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref,
+                   out_ref, geo_scr):
+    K, T = cfg.k, cfg.tile
+    Hs, Hv = cfg.hs, cfg.hv
+    dt = hr_ref.dtype
+    d2, attr, maskf = _geo_rows_km(geo_ref, geo_scr, T, K, 4)
+    hs_t = _assemble_km(hs_ref, K)
+    hrr = _rep_rows_km(hr_ref[:], K)
+    sc = attr[:, 0:1]
+    vV = _vstack(attr, cfg.v1, 1)
+    vH = _vstack(attr, Hv, 1)
+    Xs, Xv = _build_inputs(cfg, hs_t, hrr, d2, attr, 1)
+    m0, m1, _ = _layer_fwd(
+        Xs, Xv, sc, vV, vH, w01_ref[:], w1s1_ref[:], bd1_ref[:], Hs, Hv, 1
+    )
+    m0 = m0.astype(dt)
+    m1 = m1.astype(dt)
+    m0b, m1b, _ = _layer_fwd(
+        m0, m1, sc, vH, vH, w02_ref[:], w1s2_ref[:], bd2_ref[:], Hs, Hv, 1
+    )
+    msum = jnp.concatenate([m0b, m1b], axis=-1) * maskf.astype(jnp.float32)
+    out_ref[:] = _ksum_km(msum, K).astype(out_ref.dtype)
+
+
+def _bwd_kernel_km(cfg: MessageConfig, hs_ref, hr_ref, geo_ref,
+                   w01_ref, w1s1_ref, bd1_ref, w02_ref, w1s2_ref, bd2_ref,
+                   dagg_ref, dhs_ref, dhr_ref,
+                   dw01_ref, dw1s1_ref, dw1v1_ref,
+                   dw02_ref, dw1s2_ref, dw1v2_ref, geo_scr):
+    K, T = cfg.k, cfg.tile
+    Hs, Hv = cfg.hs, cfg.hv
+    V1 = cfg.v1
+    dt = hr_ref.dtype
+    d2, attr, maskf = _geo_rows_km(geo_ref, geo_scr, T, K, 4)
+    hs_t = _assemble_km(hs_ref, K)
+    hrr = _rep_rows_km(hr_ref[:], K)
+    sc = attr[:, 0:1]
+    vV = _vstack(attr, cfg.v1, 1)
+    vH = _vstack(attr, Hv, 1)
+    w01, w1s1, bd1 = w01_ref[:], w1s1_ref[:], bd1_ref[:]
+    w02, w1s2, bd2 = w02_ref[:], w1s2_ref[:], bd2_ref[:]
+
+    # ---- recompute forward ----
+    Xs, Xv = _build_inputs(cfg, hs_t, hrr, d2, attr, 1)
+    m0, m1, res1 = _layer_fwd(Xs, Xv, sc, vV, vH, w01, w1s1, bd1, Hs, Hv, 1)
+    m0 = m0.astype(dt)
+    m1 = m1.astype(dt)
+    _, _, res2 = _layer_fwd(m0, m1, sc, vH, vH, w02, w1s2, bd2, Hs, Hv, 1)
+
+    # ---- backward ----
+    d_mr = _rep_rows_km(dagg_ref[:].astype(jnp.float32), K)
+    dmh = (d_mr * maskf.astype(jnp.float32)).astype(dt)
+    d_m0, d_m1, dW02, dW1S2, dW1V2 = _layer_bwd(
+        res2, dmh[:, :Hs], dmh[:, Hs:], sc, vH, vH, w02, w1s2, bd2,
+        Hs, Hv, 1, dt,
+    )
+    d_Xs, d_Xv, dW01, dW1S1, dW1V1 = _layer_bwd(
+        res1, d_m0, d_m1, sc, vV, vH, w01, w1s1, bd1, Hs, Hv, 1, dt
+    )
+    # split layer-1 input cotangents (Xs = [hs0e ‖ hr0e ‖ d2]; Xv groups =
+    # [hs_c ‖ hr_c]); geometry gets none
+    d_hs = _cat([d_Xs[:, :Hs]]
+                + [d_Xv[:, c * V1 : c * V1 + Hv] for c in range(3)])
+    d_hrr = _cat([d_Xs[:, Hs : 2 * Hs]]
+                 + [d_Xv[:, c * V1 + Hv : (c + 1) * V1] for c in range(3)])
+    for i in range(K):
+        dhs_ref[i] = d_hs[i * T : (i + 1) * T].astype(dhs_ref.dtype)
+    dhr_ref[:] = _ksum_km(d_hrr, K).astype(dhr_ref.dtype)
+    _accum_weight_grads(
+        (dw01_ref, dw1s1_ref, dw1v1_ref, dw02_ref, dw1s2_ref, dw1v2_ref),
+        (dW01, dW1S1, dW1V1, dW02, dW1S2, dW1V2),
+    )
+
+
+def _specs_km(cfg: MessageConfig, tile: int):
+    K, F = cfg.k, cfg.f
+    Hs, Hv = cfg.hs, cfg.hv
+    S1, V1 = cfg.s1, cfg.v1
+    row = lambda i: (i, 0)
+    fix = lambda i: (0, 0)
+    data_specs = [
+        pl.BlockSpec((K, tile, F), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),  # hs [K, N, F]
+        pl.BlockSpec((tile, F), row, memory_space=pltpu.VMEM),  # hr
+        pl.BlockSpec((tile, K * 6), row, memory_space=pltpu.VMEM),  # geo2
+    ]
+    w_specs = [
+        pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * V1, 3 * Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs + Hv, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * Hv, 3 * Hv), fix, memory_space=pltpu.VMEM),
+    ]
+    return data_specs, w_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_message_aggregate_km(cfg: MessageConfig, hs3, hr, geo2,
+                               w0e1, w1o1, w0e2, w1o2):
+    """agg [N, F] = Σ_k mask · MLP(h_s ‖ h_r ‖ d², sh) — slot-major kernel.
+
+    hs3 [K, N, F] slot-major gathered sender features (``h[senders.T]`` /
+    take_dense_symmetric_km); hr [N, F]; geo2 [N, K*6] node-major packed
+    lmax=1 geometry (sh attr(4) ‖ d2 ‖ mask per slot — the edge_geo stream
+    of compute_attributes_dense); weights with norms pre-folded, in the
+    reference row layout (l1_tensor_prod.py:242-297).  N must be a multiple
+    of cfg.tile and cfg.bwd_tile (pad outside); requires cfg.pack == 1.
+    """
+    return _fwd_call_km(cfg, hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2)
+
+
+def _fwd_call_km(cfg, hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2):
+    n = hr.shape[0]
+    assert cfg.pack == 1, "slot-major kernel runs unpacked"
+    assert n % cfg.tile == 0, (n, cfg.tile)
+    assert hs3.shape == (cfg.k, n, cfg.f), (hs3.shape, (cfg.k, n, cfg.f))
+    assert geo2.shape == (n, cfg.k * 6), (geo2.shape, (n, cfg.k * 6))
+    data_specs, w_specs = _specs_km(cfg, cfg.tile)
+    ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_km, cfg),
+        grid=(n // cfg.tile,),
+        in_specs=data_specs + w_specs,
+        out_specs=pl.BlockSpec((cfg.tile, cfg.f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cfg.f), hr.dtype),
+        scratch_shapes=[pltpu.VMEM((cfg.k * cfg.tile, 6), hr.dtype)],
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=_cost(cfg, n, (w0e1, w1o1, w0e2, w1o2),
+                            [hs3, hr, geo2], [hr]),
+    )(hs3, hr, geo2, *ws)
+
+
+def _vjp_fwd_km(cfg, hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2):
+    out = _fwd_call_km(cfg, hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2)
+    return out, (hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2)
+
+
+def _vjp_bwd_km(cfg, residuals, d_agg):
+    import dataclasses
+
+    hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2 = residuals
+    bt = cfg.bwd_tile or (cfg.tile // 2 if cfg.tile % 2 == 0 else cfg.tile)
+    cfg = dataclasses.replace(cfg, tile=bt)
+    n = hr.shape[0]
+    assert n % bt == 0, (n, bt)
+    data_specs, w_specs = _specs_km(cfg, bt)
+    T, K, F = bt, cfg.k, cfg.f
+    Hs, Hv = cfg.hs, cfg.hv
+    S1, V1 = cfg.s1, cfg.v1
+    ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
+    fix = lambda i: (0, 0)
+    out_shapes = (
+        jax.ShapeDtypeStruct(hs3.shape, hs3.dtype),
+        jax.ShapeDtypeStruct(hr.shape, hr.dtype),
+        jax.ShapeDtypeStruct((S1 + V1, Hs + Hv), jnp.float32),
+        jax.ShapeDtypeStruct((S1, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((V1, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hs + Hv, Hs + Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hs, Hv), jnp.float32),
+        jax.ShapeDtypeStruct((Hv, Hv), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((K, T, F), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1 + V1, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((V1, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs + Hv, Hs + Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hv, Hv), fix, memory_space=pltpu.VMEM),
+    )
+    (dhs, dhr, dw01, dw1s1, dw1v1, dw02, dw1s2, dw1v2) = pl.pallas_call(
+        functools.partial(_bwd_kernel_km, cfg),
+        grid=(n // bt,),
+        in_specs=data_specs + w_specs
+        + [pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((K * T, 6), hr.dtype)],
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=_cost(cfg, n, (w0e1, w1o1, w0e2, w1o2),
+                            [hs3, hr, geo2, d_agg], [hs3, hr], scale=3),
+    )(hs3, hr, geo2, *ws, d_agg)
+    wdt = w0e1.dtype
+    d_w1o1 = jnp.concatenate([dw1s1, dw1v1], axis=0).astype(wdt)
+    d_w1o2 = jnp.concatenate([dw1s2, dw1v2], axis=0).astype(wdt)
+    return (dhs, dhr, jnp.zeros_like(geo2),
+            dw01.astype(wdt), d_w1o1, dw02.astype(wdt), d_w1o2)
+
+
+fused_message_aggregate_km.defvjp(_vjp_fwd_km, _vjp_bwd_km)
 
 
 # ---------------------------------------------------------------------------

@@ -494,16 +494,20 @@ class SEGNNLayer:
         ``hs``: optional pre-gathered sender rows [N, K, F] (the distributed
         path gathers with take_dense_rev for scatter-free gradients).
 
-        The lmax=1 kernel keeps separate geometry operands — measured
-        fastest at the 100k config (in-kernel geo expansion and packed
-        streams both cost more than the padded-operand DMA there);
-        ``edge_geo`` is accepted for dispatch uniformity and unused.
-        The generic kernel (1M+/lmax>=2) uses the node-major geo2 form
-        instead, where HBM capacity is the binding constraint."""
+        pack == 1 (the default everywhere — pack>1 measured slower, docs/
+        PERF.md) dispatches to the slot-major km kernel: [K, N, F] senders,
+        node-major packed geo, no dense-E expand matmuls.  pack > 1 keeps
+        the t-major stacked-lane kernel with separate flat operands."""
         from ..kernels.fused_message import MessageConfig, fused_message_aggregate
 
         n, k = senders.shape
         f = h_local.shape[-1]
+        if self.pack == 1 or k % self.pack != 0:
+            return self._fused_messages_km(
+                params, h_local, h_ext, senders, edge_attr, edge_dist2,
+                edge_mask, reverse_slot=reverse_slot, edge_geo=edge_geo,
+                hs=hs,
+            )
         # prefer a tile that divides n exactly (multiple of 16 for bf16
         # sublane tiling): kernel time is tile-insensitive, and an exact
         # divisor avoids full-array pad copies of the [N*K, F] operands
@@ -553,6 +557,54 @@ class SEGNNLayer:
         agg = fused_message_aggregate(
             cfg, hs, h_local_p, d2, attr, maskf, w0e1, w1o1, w0e2, w1o2
         )
+        return agg[:n]
+
+    def _fused_messages_km(
+        self, params, h_local, h_ext, senders, edge_attr, edge_dist2,
+        edge_mask, reverse_slot=None, edge_geo=None, hs=None,
+    ):
+        """Slot-major lmax=1 dispatch (mirrors ``_fused_messages_generic``):
+        senders gathered [K, N, F] (``h[senders.T]`` order), geometry as the
+        node-major packed [N, K*6] stream (precomputed ``edge_geo`` when the
+        attrs 4-tuple provides it — a bitcast reshape; rebuilt [N, K, ·]-
+        shaped otherwise)."""
+        from ..kernels.fused_message import (
+            MessageConfig,
+            fused_message_aggregate_km,
+        )
+
+        n, k = senders.shape
+        f = h_local.shape[-1]
+        tile = 64
+        for t in range(256, 15, -16):
+            if n % t == 0:
+                tile = t
+                break
+        npad = -(-n // tile) * tile
+        cfg = MessageConfig(hs=self._pallas_hs, hv=self._pallas_hv, k=k,
+                            tile=tile)
+        dt = h_local.dtype
+        if hs is None:
+            if reverse_slot is not None and h_ext is h_local:
+                hs3 = take_dense_symmetric_km(
+                    h_ext, senders, reverse_slot, edge_mask)
+            else:
+                hs3 = jnp.take(h_ext, senders.T, axis=0, mode="fill",
+                               fill_value=0)
+        else:  # pre-gathered node-major [N, K, F] (take_dense_rev path)
+            hs3 = jnp.swapaxes(hs, 0, 1)
+        geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
+        h_p = h_local
+        if npad != n:
+            hs3 = jnp.concatenate(
+                [hs3, jnp.zeros((k, npad - n, f), hs3.dtype)], axis=1)
+            geo2 = jnp.concatenate(
+                [geo2, jnp.zeros((npad - n, geo2.shape[-1]), geo2.dtype)])
+            h_p = jnp.concatenate(
+                [h_local, jnp.zeros((npad - n, f), h_local.dtype)])
+        w0e1, w1o1, w0e2, w1o2 = self._folded_weights(params, dt)
+        agg = fused_message_aggregate_km(
+            cfg, hs3, h_p, geo2, w0e1, w1o1, w0e2, w1o2)
         return agg[:n]
 
     @staticmethod

