@@ -91,7 +91,12 @@ def measure(model, graph, tree, feats, tgt, num_parts, iters, bf16, devices):
             lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, attrs
         )
         compute_dtype = bf
-    tgt_sh = jnp.asarray(tgt[np.clip(part.global_ids, 0, None)])
+    from jax.sharding import PartitionSpec as PS
+
+    from scalable_e3_gnn_tpu.parallel.multihost import global_put
+
+    tgt_sh = global_put(tgt[np.clip(part.global_ids, 0, None)], mesh,
+                        PS("graph"))
     opt = optax.adam(1e-3)
     step = make_dist_train_step_dense(model, opt, mesh, compute_dtype=compute_dtype)
     st = make_train_state(model.init(jax.random.key(0)), opt)
@@ -296,11 +301,19 @@ def main():
         num_layers=args.layers, remat=True, layout="cm", use_pallas=use_pallas,
     )
 
-    sizes = []
-    p = 1
-    while p <= len(devices):
-        sizes.append(p)
-        p *= 2
+    if jax.process_count() > 1:
+        # multi-process: every process must participate in every program —
+        # a sub-mesh over a subset of processes leaves the rest computing a
+        # DIFFERENT program (observed: Gloo segfault in the excluded
+        # process, r4).  Measure only the full-device mesh; the P=1..P/2
+        # curve is the single-process 8-virtual-device run's job.
+        sizes = [len(devices)]
+    else:
+        sizes = []
+        p = 1
+        while p <= len(devices):
+            sizes.append(p)
+            p *= 2
     curve = {}
     t1 = None
     for p in sizes:

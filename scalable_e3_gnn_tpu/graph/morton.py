@@ -12,13 +12,18 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["BITS", "MAX_LEVEL", "CODE_SENTINEL", "quantize", "morton_encode",
            "morton_decode", "morton_encode_points"]
 
 BITS = 10  # bits per axis
 MAX_LEVEL = BITS
-CODE_SENTINEL = jnp.int32(2**31 - 1)  # padding value, sorts after all codes
+# padding value, sorts after all codes.  np (not jnp): a module-scope device
+# array initializes the XLA backend at import, which breaks
+# jax.distributed.initialize() in any process that imports the package first
+# (multi-process bench_scaling runs)
+CODE_SENTINEL = np.int32(2**31 - 1)
 
 
 def _part1by2(x: jnp.ndarray) -> jnp.ndarray:

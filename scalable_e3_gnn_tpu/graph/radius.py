@@ -21,6 +21,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .morton import BITS, CODE_SENTINEL
 from .octree import Octree, build_octree
@@ -165,9 +166,12 @@ def search_level_for_radius(
     return max(0, min(lvl, BITS))
 
 
-_STENCIL = jnp.asarray(
+# np (not jnp): a module-scope device array initializes the XLA backend at
+# import time, breaking jax.distributed.initialize() in processes that import
+# the package first (see graph/morton.py CODE_SENTINEL)
+_STENCIL = np.asarray(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    jnp.int32,
+    np.int32,
 )  # [27, 3]
 
 

@@ -61,10 +61,20 @@ def replicate_to_mesh(tree, mesh: Mesh):
     argument; it is a no-op (identity, no dispatch) once committed.
     """
     rep = NamedSharding(mesh, P())
+    multi = jax.process_count() > 1
 
     def put(x):
         if isinstance(x, jax.Array) and x.sharding == rep:
             return x
+        if multi:
+            # multi-process: device_put onto shardings with non-addressable
+            # devices is invalid (segfaults in XLA:CPU/Gloo, r4); assemble
+            # the replicated global array from host data instead
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a committed global array
+            xnp = np.asarray(x)
+            return jax.make_array_from_callback(
+                xnp.shape, rep, lambda idx: xnp[idx])
         return jax.device_put(x, rep)
 
     return jax.tree.map(put, tree)
@@ -202,10 +212,13 @@ _NUM_SHARD_ARGS_DENSE = 11
 def shard_partitioned_dense(
     part: DensePartitionedGraph, mesh: Mesh, axis: str = "graph"
 ):
-    """Device-put the stacked dense-partition arrays over the mesh axis."""
+    """Device-put the stacked dense-partition arrays over the mesh axis
+    (multi-process-safe via multihost.global_put)."""
+    from .multihost import global_put
+
     args = _shard_args_dense(part)
-    put = lambda x: jax.device_put(
-        x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    put = lambda x: global_put(
+        x, mesh, P(axis, *([None] * (x.ndim - 1)))
     )
     return tuple(put(x) for x in args)
 
@@ -406,10 +419,13 @@ _NUM_SHARD_ARGS = 11
 
 
 def shard_partitioned(part: PartitionedGraph, mesh: Mesh, axis: str = "graph"):
-    """Device-put the stacked partition arrays, sharded over the mesh axis."""
+    """Device-put the stacked partition arrays, sharded over the mesh axis
+    (multi-process-safe via multihost.global_put)."""
+    from .multihost import global_put
+
     args = _shard_args(part)
-    put = lambda x: jax.device_put(
-        x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    put = lambda x: global_put(
+        x, mesh, P(axis, *([None] * (x.ndim - 1)))
     )
     return tuple(put(x) for x in args)
 

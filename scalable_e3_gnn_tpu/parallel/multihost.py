@@ -29,7 +29,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh
 
-__all__ = ["init_distributed", "make_hosts_mesh", "local_shard_slice"]
+__all__ = ["init_distributed", "make_hosts_mesh", "local_shard_slice",
+           "global_put"]
 
 
 def init_distributed(
@@ -104,3 +105,22 @@ def local_shard_slice(num_parts: int, mesh: Mesh, axis: str = "graph"):
     per = num_parts // mesh.shape[axis]
     assert num_parts % mesh.shape[axis] == 0, (num_parts, mesh.shape)
     return mine[0] * per, (mine[-1] + 1) * per
+
+
+def global_put(x, mesh: Mesh, spec):
+    """device_put that is multi-process-safe.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: a
+    ``jax.device_put`` onto a sharding with non-addressable devices is
+    invalid (observed to SEGFAULT in the XLA:CPU/Gloo backend, r4) — build
+    the global array with ``make_array_from_callback`` instead: every
+    process supplies only its addressable shards, sliced from the
+    (host-replicated) input.
+    """
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(xnp.shape, sh, lambda idx: xnp[idx])
