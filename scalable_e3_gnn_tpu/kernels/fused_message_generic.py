@@ -120,6 +120,29 @@ class FusedMessageGeneric:
             and getattr(l.tp, "_gemm_default", lambda: False)()
             for l in layers
         )
+        # matmul-form gate (Gate.fast_tables): silu/sigmoid gates on the
+        # folded-GEMM path evaluate as y[:, :dk] * (σ(y) @ psel) on column-
+        # permuted TP outputs — one transcendental pass + one tiny MXU
+        # matmul instead of the per-group lane concats whose non-aligned
+        # offsets each cost a Mosaic vector relayout (~9 ms/layer of the
+        # 36.5 ms generic forward at 256k/K=16, exp_generic_breakdown).
+        self._gate_fast = []
+        for l in self.layers:
+            g = getattr(l, "gate", None)
+            ok = (
+                g is not None
+                and g.layout == "cm"
+                and g.act_scalars is jax.nn.silu
+                and g.act_gates is jax.nn.sigmoid
+                and hasattr(l, "tp")
+                and getattr(l.tp, "_gemm_default", lambda: False)()
+            )
+            self._gate_fast.append(g.fast_tables() if ok else None)
+        # psel operands (fast layers only, in layer order) ride the kernel
+        # as fixed-block VMEM inputs: array constants must not be closed
+        # over in a Mosaic kernel body
+        self._psel_ops = [jnp.asarray(t[1]) for t in self._gate_fast
+                          if t is not None]
 
         # geometry rides a node-major lane-dense [N, K*(A+2)] operand and
         # expands to per-slot rows in-kernel: flat [R, 1] operands/residuals
@@ -170,8 +193,14 @@ class FusedMessageGeneric:
         wf = p["w_folded"].astype(m.dtype)
         acc = None
         for c in range(c2):
-            t = jnp.dot(m * attr[:, c : c + 1], wf[c * c1 : (c + 1) * c1],
-                        preferred_element_type=jnp.float32)
+            # row-scalar commutes through the GEMM: (m·attr_c) @ W_c ==
+            # (m @ W_c)·attr_c — scale the [R, D] GEMM result instead of the
+            # wider [R, C1] input (C1=181 vs D=108 at the 256k lmax=2
+            # config: one VPU lane-chunk instead of two per component), and
+            # the scale rides the f32 accumulator add for free
+            t = jnp.dot(m, wf[c * c1 : (c + 1) * c1],
+                        preferred_element_type=jnp.float32) \
+                * attr[:, c : c + 1].astype(jnp.float32)
             acc = t if acc is None else acc + t
         return acc.astype(m.dtype)
 
@@ -198,26 +227,47 @@ class FusedMessageGeneric:
             return hs_ref[0]
         return jnp.concatenate([hs_ref[k] for k in range(self.k)], axis=0)
 
+    def _psel_list(self, psel_vals):
+        """Expand the compact fast-layer psel sequence to per-layer/None."""
+        out, it = [], iter(psel_vals)
+        for t in self._gate_fast:
+            out.append(next(it) if t is not None else None)
+        return out
+
+    def _gate_apply(self, i, y, psel):
+        """Layer i's gate on (possibly column-permuted) pre-gate y."""
+        layer = self.layers[i]
+        fast = self._gate_fast[i]
+        if fast is not None:
+            # weights are column-permuted for fast layers (_fold): the
+            # concat-form gate would silently misread y — require psel
+            assert psel is not None, "fast-gate layer needs its psel operand"
+            return layer.gate.fast_apply(y, psel, fast[2])
+        return layer.gate(y) if getattr(layer, "gate", None) is not None \
+            else y
+
     def _message(self, params_tuple, hs_t, hr_rep, d2, attr, maskf,
-                 ksum=None):
+                 ksum=None, psels=None):
         ksum = ksum or self._ksum
+        psels = psels if psels is not None else [None] * len(self.layers)
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(hs_t.dtype)], axis=-1)
-        for layer, p in zip(self.layers, params_tuple):
+        for i, (layer, p) in enumerate(zip(self.layers, params_tuple)):
             y = self._layer_tp(layer, p, m, attr)
-            m = layer.gate(y) if getattr(layer, "gate", None) is not None \
-                else y
+            m = self._gate_apply(i, y, psels[i])
         return ksum(m * maskf)
 
-    def _message_stages(self, params_tuple, hs_t, hr_rep, d2, attr, maskf):
+    def _message_stages(self, params_tuple, hs_t, hr_rep, d2, attr, maskf,
+                        psels=None):
         """Same as ``_message`` but also returns the pre-gate TP outputs
         ``y_i`` per layer — the residuals the hand-structured backward needs
         (everything else is reconstructible with cheap elementwise work)."""
+        psels = psels if psels is not None else [None] * len(self.layers)
         m = jnp.concatenate([hs_t, hr_rep, d2.astype(hs_t.dtype)], axis=-1)
         ys = []
-        for layer, p in zip(self.layers, params_tuple):
+        for i, (layer, p) in enumerate(zip(self.layers, params_tuple)):
             y = self._layer_tp(layer, p, m, attr)
             ys.append(y)
-            m = layer.gate(y) if layer.gate is not None else y
+            m = self._gate_apply(i, y, psels[i])
         return self._ksum(m * maskf), ys
 
     # ---- pallas plumbing ----
@@ -257,6 +307,11 @@ class FusedMessageGeneric:
             rows = geo_scr[:]
         return rows[:, a : a + 1], rows[:, :a], rows[:, a + 1 : a + 2]
 
+    def _psel_specs(self):
+        fix = lambda i: (0, 0)
+        return [pl.BlockSpec(p.shape, fix, memory_space=pltpu.VMEM)
+                for p in self._psel_ops]
+
     def _fwd_call(self, params_tuple, hs, hr, geo2, save: bool = False):
         n, f = hr.shape
         a = geo2.shape[-1] // self.k - 2
@@ -265,12 +320,14 @@ class FusedMessageGeneric:
         assert hs.shape == (self.k, n, f), (hs.shape, (self.k, n, f))
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
         nlay = len(self.layers)
+        nw, nps = len(flat), len(self._psel_ops)
 
         def kernel(*refs):
             hs_ref, hr_ref, geo_ref = refs[:3]
-            w_refs = refs[3 : 3 + len(flat)]
-            out_ref = refs[3 + len(flat)]
-            y_refs = refs[4 + len(flat) : -1]
+            w_refs = refs[3 : 3 + nw]
+            psels = self._psel_list([r[:] for r in refs[3 + nw : 3 + nw + nps]])
+            out_ref = refs[3 + nw + nps]
+            y_refs = refs[4 + nw + nps : -1]
             d2_t, attr_t, mask_t = self._geo_rows(geo_ref, refs[-1], tile, a)
             hs_t = self._assemble_hs(hs_ref)
             hr_rep = self._rep_rows(hr_ref[:])
@@ -279,16 +336,17 @@ class FusedMessageGeneric:
             )
             if save:
                 out, ys = self._message_stages(
-                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t)
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, psels=psels)
                 for r, y in zip(y_refs, ys):
                     for k in range(self.k):
                         r[k] = y[k * tile : (k + 1) * tile].astype(r.dtype)
             else:
                 out = self._message(
-                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t)
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, psels=psels)
             out_ref[:] = out.astype(out_ref.dtype)
 
         data_specs, w_specs = self._specs(tile, f, a, flat)
+        w_specs = w_specs + self._psel_specs()
         out_specs = pl.BlockSpec((tile, f), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n, f), hr.dtype)
@@ -309,7 +367,7 @@ class FusedMessageGeneric:
             scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
             compiler_params=_COMPILER_PARAMS,
             cost_estimate=_cost(self.k, n, flat, [hs, hr, geo2], [hr]),
-        )(hs, hr, geo2, *flat)
+        )(hs, hr, geo2, *flat, *self._psel_ops)
         if save:
             return res[0], list(res[1 : 1 + nlay])
         return res
@@ -326,13 +384,16 @@ class FusedMessageGeneric:
         tile = self.bwd_tile
         assert n % tile == 0, (n, tile)
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
+        nw, nps = len(flat), len(self._psel_ops)
 
         def kernel(*refs):
             hs_ref, hr_ref, geo_ref = refs[:3]
-            w_refs = refs[3 : 3 + len(flat)]
-            dagg_ref = refs[3 + len(flat)]
-            dhs_ref, dhr_ref = refs[4 + len(flat) : 6 + len(flat)]
-            dw_refs = refs[6 + len(flat) : -1]
+            w_refs = refs[3 : 3 + nw]
+            psels = self._psel_list(
+                [r[:] for r in refs[3 + nw : 3 + nw + nps]])
+            dagg_ref = refs[3 + nw + nps]
+            dhs_ref, dhr_ref = refs[4 + nw + nps : 6 + nw + nps]
+            dw_refs = refs[6 + nw + nps : -1]
             d2_t, attr_t, mask_t = self._geo_rows(geo_ref, refs[-1], tile, a)
             hs_t = self._assemble_hs(hs_ref)
             dt = hs_t.dtype
@@ -350,7 +411,7 @@ class FusedMessageGeneric:
                 hr_rep = jnp.dot(E, hr_t, preferred_element_type=jnp.float32
                                  ).astype(dt)
                 return self._message(wv, hs_v, hr_rep, d2_t, attr_t, mask_t,
-                                     ksum=ksum_mm)
+                                     ksum=ksum_mm, psels=psels)
 
             _, vjp = jax.vjp(fn, wvals, hs_t, hr_ref[:])
             d_w, d_hs, d_hr = vjp(dagg_ref[:].astype(jnp.float32))
@@ -371,6 +432,7 @@ class FusedMessageGeneric:
                 r[:] += dw.astype(r.dtype)
 
         data_specs, w_specs = self._specs(tile, f, a, flat)
+        w_specs = w_specs + self._psel_specs()
         fix = lambda i: (0, 0)
         out_shapes = (
             jax.ShapeDtypeStruct(hs.shape, hs.dtype),
@@ -395,7 +457,7 @@ class FusedMessageGeneric:
             compiler_params=_COMPILER_PARAMS,
             cost_estimate=_cost(self.k, n, flat, [hs, hr, geo2, d_agg],
                                 [hs, hr], scale=3),
-        )(hs, hr, geo2, *flat, d_agg)
+        )(hs, hr, geo2, *flat, *self._psel_ops, d_agg)
         dhs, dhr = outs[0], outs[1]
         dw_flat = [
             d.astype(w.dtype) for d, w in zip(outs[2:], flat)
@@ -432,15 +494,17 @@ class FusedMessageGeneric:
         assert n % tile == 0, (n, tile)
         flat, treedef = jax.tree_util.tree_flatten(params_tuple)
         nlay = len(self.layers)
-        nw = len(flat)
+        nw, nps = len(flat), len(self._psel_ops)
 
         def kernel(*refs):
             hs_ref, hr_ref, geo_ref = refs[:3]
             w_refs = refs[3 : 3 + nw]
-            y_refs = refs[3 + nw : 3 + nw + nlay]
-            dagg_ref = refs[3 + nw + nlay]
-            dhs_ref, dhr_ref = refs[4 + nw + nlay : 6 + nw + nlay]
-            dw_refs = refs[6 + nw + nlay : -1]
+            psels = self._psel_list(
+                [r[:] for r in refs[3 + nw : 3 + nw + nps]])
+            y_refs = refs[3 + nw + nps : 3 + nw + nps + nlay]
+            dagg_ref = refs[3 + nw + nps + nlay]
+            dhs_ref, dhr_ref = refs[4 + nw + nps + nlay : 6 + nw + nps + nlay]
+            dw_refs = refs[6 + nw + nps + nlay : -1]
             d2_t, attr_t, mask_t = self._geo_rows(geo_ref, refs[-1], tile, a)
             hs_t = self._assemble_hs(hs_ref)
             dt = hs_t.dtype
@@ -452,8 +516,8 @@ class FusedMessageGeneric:
             # stage inputs: m_0 from kernel operands, m_i = gate(y_i)
             ms = [jnp.concatenate(
                 [hs_t, hr_rep, d2_t.astype(dt)], axis=-1)]
-            for layer, y in zip(self.layers[:-1], yts[:-1]):
-                ms.append(layer.gate(y) if layer.gate is not None else y)
+            for i, y in enumerate(yts[:-1]):
+                ms.append(self._gate_apply(i, y, psels[i]))
 
             dagg = dagg_ref[:].astype(jnp.float32)
             dm = (self._rep_rows(dagg)
@@ -462,25 +526,31 @@ class FusedMessageGeneric:
             for i in range(nlay - 1, -1, -1):
                 layer = self.layers[i]
                 if layer.gate is not None:
-                    _, gvjp = jax.vjp(layer.gate, yts[i])
+                    _, gvjp = jax.vjp(
+                        functools.partial(self._gate_apply, i,
+                                          psel=psels[i]), yts[i])
                     dy = gvjp(dm)[0].astype(dt)
                 else:
                     dy = dm
-                # z-free transpose: per attr component c,
-                #   dW'_c = (m·attr_c)^T @ dy   and   dm += (dy @ W'_c^T)·attr_c
-                # — no [R, C2·C1] z or dz ever materializes (same win as the
-                # forward's _layer_tp form)
+                # z-free transpose: per attr component c, with the row-scalar
+                # commuted onto the narrower dy (dya = dy·attr_c, computed
+                # once and shared):
+                #   dW'_c = (m·attr_c)^T @ dy = m^T @ dya
+                #   dm   += (dy @ W'_c^T)·attr_c = dya @ W'_c^T
+                # — no [R, C2·C1] z or dz ever materializes, and only ONE
+                # [R, D] scale pass per component instead of a [R, C1] scale
+                # plus a [R, D] scale
                 wf = wvals[i]["w_folded"].astype(dt)
                 c1, c2 = layer.tp.in1_dim, layer.tp.in2_dim
                 dwb = []
                 acc = None
+                mi_t = ms[i].T
                 for c in range(c2):
-                    mc = ms[i] * attr_t[:, c : c + 1]
+                    dya = dy * attr_t[:, c : c + 1]
                     dwb.append(jnp.dot(
-                        mc.T, dy, preferred_element_type=jnp.float32))
-                    t = (jnp.dot(dy, wf[c * c1 : (c + 1) * c1].T,
-                                 preferred_element_type=jnp.float32)
-                         * attr_t[:, c : c + 1].astype(jnp.float32))
+                        mi_t, dya, preferred_element_type=jnp.float32))
+                    t = jnp.dot(dya, wf[c * c1 : (c + 1) * c1].T,
+                                preferred_element_type=jnp.float32)
                     acc = t if acc is None else acc + t
                 dws[i] = {"w_folded": jnp.concatenate(dwb, axis=0)
                           if c2 > 1 else dwb[0]}
@@ -502,6 +572,7 @@ class FusedMessageGeneric:
                 r[:] += dwv.astype(r.dtype)
 
         data_specs, w_specs = self._specs(tile, f, a, flat)
+        w_specs = w_specs + self._psel_specs()
         fix = lambda i: (0, 0)
         dims = [l.tp.out_dim for l in self.layers]
         y_specs = [pl.BlockSpec((self.k, tile, d), lambda i: (0, i, 0),
@@ -530,7 +601,7 @@ class FusedMessageGeneric:
             cost_estimate=_cost(self.k, n, flat,
                                 [hs, hr, geo2, d_agg] + list(ys),
                                 [hs, hr], scale=2),
-        )(hs, hr, geo2, *flat, *ys, d_agg)
+        )(hs, hr, geo2, *flat, *self._psel_ops, *ys, d_agg)
         dhs, dhr = outs[0], outs[1]
         dw_flat = [d.astype(w.dtype) for d, w in zip(outs[2:], flat)]
         d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
@@ -542,12 +613,21 @@ class FusedMessageGeneric:
         """Pre-fold CG-GEMM weights OUTSIDE the kernel (fold_params captures
         constant index arrays that must not be closed over in a kernel body);
         the fold is jnp-traceable, so ordinary AD transposes it — the
-        custom_vjp boundary sits on the folded tree."""
+        custom_vjp boundary sits on the folded tree.
+
+        Fast-gate layers additionally get their folded columns permuted to
+        ``scalars ‖ gated ‖ gates`` (Gate.fast_tables) so the in-kernel gate
+        is a slice + σ-matmul with no lane relayouts; the permutation is a
+        weight-side gather AD transposes outside the kernel."""
         out = []
-        for layer, p in zip(self.layers, params_tuple):
+        for i, (layer, p) in enumerate(zip(self.layers, params_tuple)):
             tp = layer.tp
             if getattr(tp, "_gemm_default", lambda: False)():
-                out.append(tp.fold_params(p))
+                fp = tp.fold_params(p)
+                if self._gate_fast[i] is not None:
+                    perm = self._gate_fast[i][0]
+                    fp = {**fp, "w_folded": fp["w_folded"][:, perm]}
+                out.append(fp)
             else:
                 out.append(p)
         return tuple(out)

@@ -18,6 +18,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.irreps import Irreps
 
@@ -61,6 +62,73 @@ class Gate:
         self._ns = self.irreps_scalars.dim
         # per-gated-group (mul, 2l+1) shapes, in order
         self._gated_shapes = [(mi.mul, mi.ir.dim) for mi in self.irreps_gated]
+
+    def fast_tables(self):
+        """(perm, psel, dk) for the matmul-form gate used inside Pallas kernels.
+
+        The reference-shaped gate (``__call__``) builds its output from
+        per-group lane concats whose non-128-aligned offsets cost a vector
+        relayout each inside Mosaic (~9 ms/layer of the generic kernel's
+        36.5 ms forward at 256k/K=16 — tools/exp_generic_breakdown.py).  The
+        matmul form removes every concat: permute the upstream TP's output
+        columns to ``scalars ‖ gated ‖ gates`` (a free weight-side column
+        gather, outside the kernel), then
+
+            out = y[:, :dk] * (sigmoid(y_f32) @ psel)
+
+        — one full-width transcendental pass, one tiny MXU matmul, one lane
+        multiply.  Valid exactly when ``act_scalars`` is silu (= x·σ(x), so
+        the scalar multiplier is σ(y_s)) and ``act_gates`` is sigmoid, in
+        'cm' layout.  ``perm`` indexes the UNPERMUTED TP output columns
+        (scalars ‖ gates ‖ gated); ``psel [irreps_in.dim, dk]`` maps
+        σ(y_perm) lanes to output-aligned multipliers: identity on scalars,
+        gate g replicated to its component lanes, zero on gated rows.
+        """
+        ns, ng = self._ns, self.num_gates
+        d_in = self.irreps_in.dim
+        dk = self.irreps_out.dim
+        perm = (list(range(ns)) + list(range(ns + ng, d_in))
+                + list(range(ns, ns + ng)))
+        # psel rows = σ(y_perm) lanes, cols = output lanes: identity on
+        # scalars, gate g replicated to its component lanes, zero on gated
+        # rows.  Full-row form on purpose: σ over ALL lanes is ONE VPU pass
+        # (lanes pad to 128 regardless of slice width — two narrow σ slices
+        # measured ~2x the cost of one full-width pass), and the zero rows
+        # are free inside the single MXU dot.
+        psel = np.zeros((d_in, dk), np.float32)
+        for j in range(ns):
+            psel[j, j] = 1.0
+        col, gi = ns, 0
+        for mul, d in self._gated_shapes:
+            for _comp in range(d):
+                for m in range(mul):
+                    psel[dk + gi + m, col] = 1.0
+                    col += 1
+            gi += mul
+        assert col == dk, (col, dk)
+        return np.asarray(perm, np.int32), psel, dk
+
+    def fast_apply(self, y: jnp.ndarray, psel: jnp.ndarray,
+                   dk: int) -> jnp.ndarray:
+        """Matmul-form gate on PERMUTED pre-gate features (see fast_tables).
+
+        σ runs only on the lanes that feed a multiplier (scalars + gates —
+        the gated rows of psel are zero); the selection dot runs at the
+        kernel dtype in bf16 production (single MXU pass — psel is 0/1 so
+        the dot is a permutation, rounding only via the σ operand) and at
+        HIGHEST precision in f32 parity mode (exact products)."""
+        cdim = ((y.ndim - 1,), (0,))
+        if y.dtype == jnp.float32:
+            kw = dict(precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+            dt = jnp.float32
+        else:
+            # Mosaic requires a 32-bit matmul accumulator for bf16 operands
+            kw, dt = dict(preferred_element_type=jnp.float32), y.dtype
+        sg = jax.nn.sigmoid(y.astype(jnp.float32)).astype(dt)
+        mlt = jax.lax.dot_general(sg, psel.astype(dt), (cdim, ((), ())),
+                                  **kw).astype(y.dtype)
+        return y[..., :dk] * mlt
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ns, ng = self._ns, self.num_gates

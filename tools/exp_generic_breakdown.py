@@ -43,9 +43,10 @@ class StagedKernel(FusedMessageGeneric):
         self.residual_bwd = False
 
     def _message(self, params_tuple, hs_t, hr_rep, d2, attr, maskf,
-                 ksum=None):
+                 ksum=None, psels=None):
         f = hr_rep.shape[-1]
         dt = hs_t.dtype
+        psels = psels if psels is not None else [None] * len(self.layers)
 
         def out(m):
             # lane-sum sink so DCE cannot drop any computed column
@@ -55,7 +56,7 @@ class StagedKernel(FusedMessageGeneric):
 
         if self.stage == "full_nz":  # production path (z-free _layer_tp)
             return super()._message(params_tuple, hs_t, hr_rep, d2, attr,
-                                    maskf)
+                                    maskf, psels=psels)
         if self.stage == "null":  # constants: grid + DMA + K-sum only
             r = hr_rep.shape[0]
             return self._ksum(jnp.ones((r, f), dt))
@@ -82,7 +83,8 @@ class StagedKernel(FusedMessageGeneric):
         y = jnp.dot(z, wf, preferred_element_type=jnp.float32).astype(dt)
         if self.stage == "gemm1":
             return out(y)
-        m = layer0.gate(y) if layer0.gate is not None else y
+        m = self._gate_apply(0, y, psels[0]) if self._gate_fast[0] is not None \
+            else (layer0.gate(y) if layer0.gate is not None else y)
         if self.stage == "gate1":
             return out(m)
         for layer, p in zip(self.layers[1:], params_tuple[1:]):
