@@ -71,6 +71,16 @@ class MessageConfig:
     bwd_tile: int = 0  # node rows per grid step (bwd); 0 = tile // 2
     u: int = 0  # compact sender-table size (tabled gather path); 0 = off
     pack: int = 1  # edge slots per register row (lane packing); K % pack == 0
+    # GEMM-form (km2) tile math for the slot-major kernels: data
+    # rearrangement folded into zero-row-padded weight GEMMs (see the km2
+    # section below).  Forward measured 18.5 -> 17.8 ms at the 100k shapes
+    # and ships by default; the GEMM-form BACKWARD measured ~1-2 ms SLOWER
+    # than the stacked-lane bwd at every tile tried (36.3 vs 35.2 f+b at
+    # t160:b80; 36.7 vs 34.7 at t96:b96 — the extra transposed weight-grad
+    # GEMMs outweigh the relayouts they remove), so it stays opt-in for
+    # experiments.
+    gemm_form: bool = True
+    gemm_form_bwd: bool = False
 
     @property
     def f(self) -> int:  # flat hidden dim (cm layout)
@@ -843,6 +853,8 @@ def fused_message_aggregate_km(cfg: MessageConfig, hs3, hr, geo2,
 
 
 def _fwd_call_km(cfg, hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2):
+    if cfg.gemm_form:
+        return _fwd_call_km2(cfg, hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2)
     n = hr.shape[0]
     assert cfg.pack == 1, "slot-major kernel runs unpacked"
     assert n % cfg.tile == 0, (n, cfg.tile)
@@ -904,18 +916,32 @@ def _vjp_bwd_km(cfg, residuals, d_agg):
         pl.BlockSpec((Hs, Hv), fix, memory_space=pltpu.VMEM),
         pl.BlockSpec((Hv, Hv), fix, memory_space=pltpu.VMEM),
     )
+    dagg_spec = [pl.BlockSpec((T, F), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if cfg.gemm_form_bwd:
+        mats = _km2_mats(cfg, w0e1, w1o1, w0e2, w1o2)
+        kern, in_specs, ops = (
+            functools.partial(_bwd_kernel_km2, cfg),
+            data_specs + _km2_w_specs(cfg, 15) + dagg_spec,
+            (hs3, hr, geo2, *mats, d_agg),
+        )
+    else:
+        kern, in_specs, ops = (
+            functools.partial(_bwd_kernel_km, cfg),
+            data_specs + w_specs + dagg_spec,
+            (hs3, hr, geo2, *ws, d_agg),
+        )
     (dhs, dhr, dw01, dw1s1, dw1v1, dw02, dw1s2, dw1v2) = pl.pallas_call(
-        functools.partial(_bwd_kernel_km, cfg),
+        kern,
         grid=(n // bt,),
-        in_specs=data_specs + w_specs
-        + [pl.BlockSpec((T, F), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((K * T, 6), hr.dtype)],
         compiler_params=_COMPILER_PARAMS,
         cost_estimate=_cost(cfg, n, (w0e1, w1o1, w0e2, w1o2),
                             [hs3, hr, geo2, d_agg], [hs3, hr], scale=3),
-    )(hs3, hr, geo2, *ws, d_agg)
+    )(*ops)
     wdt = w0e1.dtype
     d_w1o1 = jnp.concatenate([dw1s1, dw1v1], axis=0).astype(wdt)
     d_w1o2 = jnp.concatenate([dw1s2, dw1v2], axis=0).astype(wdt)
@@ -924,6 +950,309 @@ def _vjp_bwd_km(cfg, residuals, d_agg):
 
 
 fused_message_aggregate_km.defvjp(_vjp_fwd_km, _vjp_bwd_km)
+
+
+# ---------------------------------------------------------------------------
+# GEMM-form slot-major kernel (km2).  The km kernel is VPU-bound at ~3x its
+# element floor on sub-128-lane features; most of the gap is Mosaic vector
+# relayouts: every _cat/_vstack/_bch/_rep3/slice-at-offset is one or more
+# full-register shuffle passes.  km2 folds ALL data rearrangement into
+# zero-row-padded weight matrices consumed by plain GEMMs on two wide
+# operands (hsr = [h_s ‖ h_r] and m01 = [m0 ‖ m1]):
+#
+#   o0 = (hsr @ W0p + d2 @ w0d)·s  +  Σ_c (hsr @ W0v_c)·v_c
+#   A  =  hsr @ WAp + d2 @ wAd
+#   B  =  s · Σ_c hsr @ WB_c          (output-block-padded: no concat)
+#   o1 = cg011 · ((A @ P3) · (attr @ Pv) + B)
+#   m01' = [o0_s·σ(o0_s) ‖ o1 · (σ(o0) @ Pg)]
+#
+# where the row-scalar scales (s, v_c) commute through the GEMMs and every
+# 0/1 placement (P3 = rep3, Pv = component broadcast, Pg = gate replicate)
+# is a tiny MXU matmul instead of a lane relayout.  MXU work grows ~5x
+# (still ~2 ms/layer at 100k shapes) but the VPU pass count drops ~3x —
+# the right trade on a VPU-bound kernel.  Same math as the reference chain
+# (l1_tensor_prod.py:242-297): the padded matrices are exact row/col
+# embeddings of W0 / W1S / W1V.
+# ---------------------------------------------------------------------------
+
+
+def _km2_mats(cfg: MessageConfig, w0e1, w1o1, w0e2, w1o2):
+    """Padded GEMM-form weights + 0/1 placement mats (outside the kernel).
+
+    Returns 13 operands, each small enough to ride as a fixed VMEM block.
+    Traceable jnp ops — ordinary AD transposes the padding, so a custom_vjp
+    over the ORIGINAL weights can also just reuse these inside its backward.
+    """
+    Hs, Hv, F = cfg.hs, cfg.hv, cfg.f
+    S1 = cfg.s1
+    dt = w0e1.dtype
+    G = Hs + Hv
+    F2 = 2 * F
+    W0, W1S, W1V = w0e1, w1o1[:S1], w1o1[S1:]
+    W02, W1S2, W1V2 = w0e2, w1o2[:Hs], w1o2[Hs:]
+    z = lambda r, c: jnp.zeros((r, c), dt)
+    cg = jnp.asarray(CG110, dt)
+
+    w0_hsr = z(F2, G).at[0:Hs].set(W0[0:Hs]).at[F:F + Hs].set(W0[Hs:2 * Hs])
+    w0_d2 = W0[2 * Hs : 2 * Hs + 1]
+    w0v = jnp.concatenate([
+        z(F2, G)
+        .at[Hs + c * Hv : Hs + (c + 1) * Hv].set(cg * W0[S1 : S1 + Hv])
+        .at[F + Hs + c * Hv : F + Hs + (c + 1) * Hv].set(
+            cg * W0[S1 + Hv : S1 + 2 * Hv])
+        for c in range(3)], axis=0)  # [3·F2, G]
+    wA = z(F2, Hv).at[0:Hs].set(W1S[0:Hs]).at[F:F + Hs].set(W1S[Hs:2 * Hs])
+    wA_d2 = W1S[2 * Hs : 2 * Hs + 1]
+    wB = jnp.concatenate([
+        z(F2, 3 * Hv)
+        .at[Hs + c * Hv : Hs + (c + 1) * Hv, c * Hv : (c + 1) * Hv].set(
+            W1V[0:Hv])
+        .at[F + Hs + c * Hv : F + Hs + (c + 1) * Hv,
+            c * Hv : (c + 1) * Hv].set(W1V[Hv : 2 * Hv])
+        for c in range(3)], axis=0)  # [3·F2, 3Hv]
+
+    w2_m = z(F, G).at[0:Hs].set(W02[0:Hs])
+    w2v = jnp.concatenate([
+        z(F, G).at[Hs + c * Hv : Hs + (c + 1) * Hv].set(
+            cg * W02[Hs : Hs + Hv])
+        for c in range(3)], axis=0)
+    wA2 = z(F, Hv).at[0:Hs].set(W1S2)
+    wB2 = jnp.concatenate([
+        z(F, 3 * Hv).at[Hs + c * Hv : Hs + (c + 1) * Hv,
+                        c * Hv : (c + 1) * Hv].set(W1V2)
+        for c in range(3)], axis=0)
+
+    p3 = np.zeros((Hv, 3 * Hv), np.float32)
+    pg = np.zeros((G, 3 * Hv), np.float32)
+    pv = np.zeros((4, 3 * Hv), np.float32)
+    for c in range(3):
+        for j in range(Hv):
+            p3[j, c * Hv + j] = 1.0
+            pg[Hs + j, c * Hv + j] = 1.0
+        pv[1 + c, c * Hv : (c + 1) * Hv] = 1.0
+    # backward-only selections: m01 [.., F] cotangent -> zero-padded m0
+    # cotangent [.., G] / m1 cotangent [.., 3Hv] without lane slicing
+    pm0 = np.zeros((F, G), np.float32)
+    pm1 = np.zeros((F, 3 * Hv), np.float32)
+    for j in range(Hs):
+        pm0[j, j] = 1.0
+    for j in range(3 * Hv):
+        pm1[Hs + j, j] = 1.0
+    return (w0_hsr, w0_d2, w0v, wA, wA_d2, wB, w2_m, w2v, wA2, wB2,
+            jnp.asarray(p3, dt), jnp.asarray(pg, dt), jnp.asarray(pv, dt),
+            jnp.asarray(pm0, dt), jnp.asarray(pm1, dt))
+
+
+def _tp_layer_km2(cfg, x, d2, sc, vcols, vfull, w_main, w_d2, w_v, w_A,
+                  wA_d2, w_B, p3, pg, internals: bool = False):
+    """One gated L1 TP layer in GEMM form; x = hsr [R, 2F] (layer 1, with
+    d2) or m01 [R, F] (layer 2, d2 None).  Returns m01' [R, F] in dtype of
+    x.  Stacked w_v/w_B hold the 3 per-component matrices on sublanes."""
+    Hs, Hv = cfg.hs, cfg.hv
+    dt = x.dtype
+    rw = x.shape[-1]
+    o0 = _mm(x, w_main)
+    A = _mm(x, w_A)
+    if d2 is not None:
+        d2t = d2.astype(dt)
+        o0 = o0 + _mm(d2t, w_d2)
+        A = A + _mm(d2t, wA_d2)
+    o0 = o0 * sc
+    for c in range(3):
+        o0 = o0 + _mm(x, w_v[c * rw : (c + 1) * rw]) * vcols[c]
+    B = sum(_mm(x, w_B[c * rw : (c + 1) * rw]) for c in range(3)) * sc
+    o1 = CG011 * (_mm(A.astype(dt), p3) * vfull + B)
+    sg = jax.nn.sigmoid(o0)  # [R, G] f32, one pass (σ feeds silu AND gates)
+    gmul = _mm(sg.astype(dt), pg)
+    m0 = o0[:, :Hs] * sg[:, :Hs]
+    m1 = o1 * gmul
+    out = jnp.concatenate([m0, m1], axis=-1).astype(dt)
+    if internals:
+        return out, (o0, sg, o1, gmul)
+    return out
+
+
+def _tp_layer_km2_bwd(cfg, x, d2, sc, vcols, vfull, internals, dm01,
+                      w_main, w_d2, w_v, w_A, wA_d2, w_B, p3, pg, pm0, pm1):
+    """Hand transpose of ``_tp_layer_km2`` — GEMM form throughout.
+
+    ``dm01`` [R, F] cotangent of the layer output.  Returns
+    (d_x [R, rw] dtype-of-x, wg) where ``wg`` holds the UNSLICED transposed
+    products (dW_main_full [rw, G], dW_d2 [1, G]|None, dWv_full [3rw, G],
+    dWA_full [rw, Hv], dWA_d2 [1, Hv]|None, dWB_full [rw, 3Hv]) — the
+    caller slices them back to reference weight rows (weight-sized sublane
+    slices, cheap).  No lane slicing anywhere: the m0/m1 cotangent split
+    rides the pm0/pm1 selection GEMMs, and activation grads are rebuilt
+    from the saved σ (no extra transcendentals)."""
+    dt = x.dtype
+    rw = x.shape[-1]
+    o0, sg, o1, gmul = internals
+    dm01f = dm01.astype(dt)
+    dm1 = _mm(dm01f, pm1)  # [R, 3Hv] f32
+    dm0p = _mm(dm01f, pm0)  # [R, G] f32, gate lanes zero
+    d_o1 = dm1 * gmul
+    d_gm = (dm1 * o1).astype(dt)
+    d_sg = _mm(d_gm, pg.T)  # [R, G], scalar lanes zero
+    # silu'(o0_s)·dm0 on scalar lanes + σ'(o0_g)·d_sg on gate lanes, both
+    # from the saved σ — full-width, the zero lanes of each term mask the
+    # other's domain
+    d_o0 = dm0p * (sg * (1.0 + o0 * (1.0 - sg))) + d_sg * (sg * (1.0 - sg))
+    d_B = CG011 * d_o1
+    d_AP = (d_B * vfull).astype(dt)
+    d_A = _mm(d_AP, p3.T).astype(dt)  # [R, Hv]
+    d_Bs = (d_B * sc).astype(dt)  # [R, 3Hv]
+    g_sc = (d_o0 * sc).astype(dt)  # [R, G]
+    g_vc = [(d_o0 * vcols[c]).astype(dt) for c in range(3)]
+    # input cotangent — every term a GEMM into the full rw-lane space
+    d_x = _mm(g_sc, w_main.T)
+    d_x = d_x + _mm(d_A, w_A.T)
+    for c in range(3):
+        d_x = d_x + _mm(g_vc[c], w_v[c * rw : (c + 1) * rw].T)
+        d_x = d_x + _mm(d_Bs, w_B[c * rw : (c + 1) * rw].T)
+    xt = x.T
+    # d2 row gradients as masked sublane reductions ([1, R] @ [R, G]
+    # transposed matmuls put R on lanes — avoid)
+    red = lambda g: jnp.sum(g.astype(jnp.float32)
+                            * d2.astype(jnp.float32), axis=0, keepdims=True)
+    wg = (
+        _mm(xt, g_sc),  # dW_main_full [rw, G]
+        red(g_sc) if d2 is not None else None,
+        jnp.concatenate([_mm(xt, g_vc[c]) for c in range(3)], axis=0),
+        _mm(xt, d_A),  # dWA_full [rw, Hv]
+        red(d_A) if d2 is not None else None,
+        _mm(xt, d_Bs),  # dWB_full [rw, 3Hv] (shared by the 3 blocks)
+    )
+    return d_x.astype(dt), wg
+
+
+def _km2_assemble_wgrads(cfg, wg1, wg2):
+    """Slice the full transposed products back to reference weight rows.
+
+    Inverse of the _km2_mats embeddings: structurally-zero weight rows'
+    gradients are discarded, shared blocks (hs_v/hr_v across components;
+    the W1V output blocks) sum.  All weight-sized f32 ops."""
+    Hs, Hv, F = cfg.hs, cfg.hv, cfg.f
+    rw = 2 * F
+    cg = CG110
+    dWm, dWd2, dWv, dWA, dWAd2, dWB = wg1
+    hs_v = cg * sum(dWv[c * rw + Hs + c * Hv : c * rw + Hs + (c + 1) * Hv]
+                    for c in range(3))
+    hr_v = cg * sum(
+        dWv[c * rw + F + Hs + c * Hv : c * rw + F + Hs + (c + 1) * Hv]
+        for c in range(3))
+    dW0 = jnp.concatenate(
+        [dWm[0:Hs], dWm[F:F + Hs], dWd2, hs_v, hr_v], axis=0)  # [S1+V1, G]
+    dW1S = jnp.concatenate([dWA[0:Hs], dWA[F:F + Hs], dWAd2], axis=0)
+    dW1V = jnp.concatenate([
+        sum(dWB[Hs + c * Hv : Hs + (c + 1) * Hv, c * Hv : (c + 1) * Hv]
+            for c in range(3)),
+        sum(dWB[F + Hs + c * Hv : F + Hs + (c + 1) * Hv,
+                c * Hv : (c + 1) * Hv] for c in range(3)),
+    ], axis=0)  # [2Hv, Hv]
+    dWm2, _, dWv2, dWA2f, _, dWB2f = wg2
+    dv2 = cg * sum(dWv2[c * F + Hs + c * Hv : c * F + Hs + (c + 1) * Hv]
+                   for c in range(3))
+    dW02 = jnp.concatenate([dWm2[0:Hs], dv2], axis=0)  # [Hs+Hv, G]
+    dW1S2 = dWA2f[0:Hs]
+    dW1V2 = sum(dWB2f[Hs + c * Hv : Hs + (c + 1) * Hv, c * Hv : (c + 1) * Hv]
+                for c in range(3))
+    return dW0, dW1S, dW1V, dW02, dW1S2, dW1V2
+
+
+def _bwd_kernel_km2(cfg: MessageConfig, hs_ref, hr_ref, geo_ref,
+                    m1_ref, m2_ref, m3_ref, m4_ref, m5_ref, m6_ref,
+                    m7_ref, m8_ref, m9_ref, m10_ref, m11_ref, m12_ref,
+                    m13_ref, m14_ref, m15_ref, dagg_ref,
+                    dhs_ref, dhr_ref, dw01_ref, dw1s1_ref, dw1v1_ref,
+                    dw02_ref, dw1s2_ref, dw1v2_ref, geo_scr):
+    K, T, F = cfg.k, cfg.tile, cfg.f
+    d2, attr, maskf = _geo_rows_km(geo_ref, geo_scr, T, K, 4)
+    hs_t = _assemble_km(hs_ref, K)
+    hrr = _rep_rows_km(hr_ref[:], K)
+    hsr = jnp.concatenate([hs_t, hrr], axis=-1)
+    (w0_hsr, w0_d2, w0v, wA, wA_d2, wB, w2_m, w2v, wA2, wB2, p3, pg, pv,
+     pm0, pm1) = (m1_ref[:], m2_ref[:], m3_ref[:], m4_ref[:], m5_ref[:],
+                  m6_ref[:], m7_ref[:], m8_ref[:], m9_ref[:], m10_ref[:],
+                  m11_ref[:], m12_ref[:], m13_ref[:], m14_ref[:], m15_ref[:])
+    sc = attr[:, 0:1].astype(jnp.float32)
+    vcols = [attr[:, 1 + c : 2 + c].astype(jnp.float32) for c in range(3)]
+    vfull = _mm(attr, pv)
+    # recompute forward (keep σ/o0/o1/gmul per layer — cheap, row-width f32)
+    m01, int1 = _tp_layer_km2(cfg, hsr, d2, sc, vcols, vfull, w0_hsr, w0_d2,
+                              w0v, wA, wA_d2, wB, p3, pg, internals=True)
+    _, int2 = _tp_layer_km2(cfg, m01, None, sc, vcols, vfull, w2_m, None,
+                            w2v, wA2, None, wB2, p3, pg, internals=True)
+    dm01b = _rep_rows_km(dagg_ref[:].astype(jnp.float32), K) \
+        * maskf.astype(jnp.float32)
+    d_m01, wg2 = _tp_layer_km2_bwd(cfg, m01, None, sc, vcols, vfull, int2,
+                                   dm01b, w2_m, None, w2v, wA2, None, wB2,
+                                   p3, pg, pm0, pm1)
+    d_hsr, wg1 = _tp_layer_km2_bwd(cfg, hsr, d2, sc, vcols, vfull, int1,
+                                   d_m01, w0_hsr, w0_d2, w0v, wA, wA_d2, wB,
+                                   p3, pg, pm0, pm1)
+    for i in range(K):
+        dhs_ref[i] = d_hsr[i * T : (i + 1) * T, :F].astype(dhs_ref.dtype)
+    dhr_ref[:] = _ksum_km(d_hsr[:, F:], K).astype(dhr_ref.dtype)
+    _accum_weight_grads(
+        (dw01_ref, dw1s1_ref, dw1v1_ref, dw02_ref, dw1s2_ref, dw1v2_ref),
+        _km2_assemble_wgrads(cfg, wg1, wg2),
+    )
+
+
+def _fwd_kernel_km2(cfg: MessageConfig, hs_ref, hr_ref, geo_ref,
+                    m1_ref, m2_ref, m3_ref, m4_ref, m5_ref, m6_ref,
+                    m7_ref, m8_ref, m9_ref, m10_ref, m11_ref, m12_ref,
+                    m13_ref, out_ref, geo_scr):
+    K, T = cfg.k, cfg.tile
+    dt = hr_ref.dtype
+    d2, attr, maskf = _geo_rows_km(geo_ref, geo_scr, T, K, 4)
+    hs_t = _assemble_km(hs_ref, K)
+    hrr = _rep_rows_km(hr_ref[:], K)
+    hsr = jnp.concatenate([hs_t, hrr], axis=-1)  # [R, 2F] — the ONE concat
+    (w0_hsr, w0_d2, w0v, wA, wA_d2, wB, w2_m, w2v, wA2, wB2, p3, pg, pv) = (
+        m1_ref[:], m2_ref[:], m3_ref[:], m4_ref[:], m5_ref[:], m6_ref[:],
+        m7_ref[:], m8_ref[:], m9_ref[:], m10_ref[:], m11_ref[:], m12_ref[:],
+        m13_ref[:])
+    sc = attr[:, 0:1].astype(jnp.float32)
+    vcols = [attr[:, 1 + c : 2 + c].astype(jnp.float32) for c in range(3)]
+    vfull = _mm(attr, pv)  # [R, 3Hv] f32: v_c broadcast over block c
+    m01 = _tp_layer_km2(cfg, hsr, d2, sc, vcols, vfull,
+                        w0_hsr, w0_d2, w0v, wA, wA_d2, wB, p3, pg)
+    m01b = _tp_layer_km2(cfg, m01, None, sc, vcols, vfull,
+                         w2_m, None, w2v, wA2, None, wB2, p3, pg)
+    out_ref[:] = _ksum_km(m01b * maskf, K).astype(out_ref.dtype)
+
+
+def _km2_w_specs(cfg: MessageConfig, nmats: int = 13):
+    Hs, Hv, F = cfg.hs, cfg.hv, cfg.f
+    G, F2 = Hs + Hv, 2 * cfg.f
+    fix = lambda i: (0, 0)
+    shapes = [(F2, G), (1, G), (3 * F2, G), (F2, Hv), (1, Hv), (F2 * 3, 3 * Hv),
+              (F, G), (3 * F, G), (F, Hv), (3 * F, 3 * Hv),
+              (Hv, 3 * Hv), (G, 3 * Hv), (4, 3 * Hv),
+              (F, G), (F, 3 * Hv)]  # pm0, pm1 (bwd only)
+    return [pl.BlockSpec(s, fix, memory_space=pltpu.VMEM)
+            for s in shapes[:nmats]]
+
+
+def _fwd_call_km2(cfg, hs3, hr, geo2, w0e1, w1o1, w0e2, w1o2):
+    n = hr.shape[0]
+    assert cfg.pack == 1, "km2 kernel runs unpacked"
+    assert n % cfg.tile == 0, (n, cfg.tile)
+    mats = _km2_mats(cfg, w0e1, w1o1, w0e2, w1o2)[:13]
+    data_specs, _ = _specs_km(cfg, cfg.tile)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_km2, cfg),
+        grid=(n // cfg.tile,),
+        in_specs=data_specs + _km2_w_specs(cfg, 13),
+        out_specs=pl.BlockSpec((cfg.tile, cfg.f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cfg.f), hr.dtype),
+        scratch_shapes=[pltpu.VMEM((cfg.k * cfg.tile, 6), hr.dtype)],
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=_cost(cfg, n, (w0e1, w1o1, w0e2, w1o2),
+                            [hs3, hr, geo2], [hr]),
+    )(hs3, hr, geo2, *mats)
 
 
 # ---------------------------------------------------------------------------
