@@ -1311,7 +1311,11 @@ def fused_message_aggregate_tabled(cfg: MessageConfig, h, d2, attr, maskf,
 
 
 def _take_rows(a, idx):
-    return jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+    # clip, not fill: TPU fill mode materializes a separate full-size
+    # select fusion (ops/gather_scatter.take_dense_symmetric).  Safe here:
+    # pad gtab rows are never selected by a valid in-kernel one-hot, and
+    # the rtab reduction masks explicitly below.
+    return jnp.take(a, jnp.minimum(idx, a.shape[0] - 1), axis=0)
 
 
 def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2):
@@ -1393,10 +1397,13 @@ def _vjp_bwd_tab(cfg, residuals, d_agg):
 
     # sender gradients: dense reverse-table gather-sum (no scatter) —
     # node v's cotangent is the sum of its d_hu rows across the <=Q tiles
-    # whose tables contain it (rtab pad = n_tab*U reads as 0).
+    # whose tables contain it (rtab pad = n_tab*U: clamped read, zeroed by
+    # the validity multiply inside the reduction — fuses, no select temp).
     q = rtab.shape[1]
-    picked = _take_rows(dhu, rtab.reshape(-1)).reshape(n, q, F)
-    d_h = dhr + picked.sum(axis=1).astype(dhr.dtype)
+    rt = rtab.reshape(-1)
+    valid = (rt < dhu.shape[0]).astype(dhu.dtype)
+    picked = _take_rows(dhu, rt) * valid[:, None]
+    d_h = dhr + picked.reshape(n, q, F).sum(axis=1).astype(dhr.dtype)
 
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     zeros = lambda x: jnp.zeros_like(x)

@@ -349,7 +349,7 @@ class SEGNNLayer:
             if rs is not None and h_ext_ is h_local_b:
                 hs = take_dense_symmetric(h_ext_, senders_b, rs, mask_b)
             else:
-                hs = jnp.take(h_ext_, senders_b, axis=0, mode="fill", fill_value=0)
+                hs = jnp.take(h_ext_, senders_b, axis=0, mode="clip")
             hr = jnp.broadcast_to(h_local_b[:, None, :], hs.shape)
             m = jnp.concatenate([hs, hr, dist2_b[..., None]], axis=-1)
             for i, layer in enumerate(self.message_layers):
@@ -466,7 +466,7 @@ class SEGNNLayer:
                     msg_params, h_r, h_src, senders, eattr, d2, mask, hs=hs
                 )
             if hs is None:
-                hs = jnp.take(h_src, senders, axis=0, mode="fill", fill_value=0)
+                hs = jnp.take(h_src, senders, axis=0, mode="clip")
             hr = jnp.broadcast_to(h_r[:, None, :], hs.shape)
             m = jnp.concatenate([hs, hr, d2[..., None]], axis=-1)
             for i, layer in enumerate(self.message_layers):
@@ -526,7 +526,7 @@ class SEGNNLayer:
             if reverse_slot is not None and h_ext is h_local:
                 hs = take_dense_symmetric(h_ext, senders, reverse_slot, edge_mask)
             else:
-                hs = jnp.take(h_ext, senders, axis=0, mode="fill", fill_value=0)
+                hs = jnp.take(h_ext, senders, axis=0, mode="clip")
         hs = hs.reshape(n * k, f)
         attr = edge_attr.reshape(n * k, edge_attr.shape[-1])
         # d2/mask flattened to [N*K, 1] outside the kernel (Mosaic cannot
@@ -589,8 +589,7 @@ class SEGNNLayer:
                 hs3 = take_dense_symmetric_km(
                     h_ext, senders, reverse_slot, edge_mask)
             else:
-                hs3 = jnp.take(h_ext, senders.T, axis=0, mode="fill",
-                               fill_value=0)
+                hs3 = jnp.take(h_ext, senders.T, axis=0, mode="clip")
         else:  # pre-gathered node-major [N, K, F] (take_dense_rev path)
             hs3 = jnp.swapaxes(hs, 0, 1)
         geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
@@ -735,8 +734,7 @@ class SEGNNLayer:
                 hs = take_dense_symmetric_km(
                     h_ext, senders, reverse_slot, edge_mask)
             else:
-                hs = jnp.take(h_ext, senders.T, axis=0, mode="fill",
-                              fill_value=0)
+                hs = jnp.take(h_ext, senders.T, axis=0, mode="clip")
         else:  # pre-gathered node-major [N, K, F] (take_dense_rev path)
             hs = jnp.swapaxes(hs, 0, 1)
         dt = h_local.dtype

@@ -139,11 +139,16 @@ def take_dense_symmetric(
     the transpose of a gather.
 
     Out-of-range slots (padding: ``senders == n``, ``reverse_slot == n*k``)
-    use the XLA gather fill mode — rows read as 0 with no clamp ops and no
-    [N, K, F] mask select (each of those materializes a full edge-sized
-    tensor in HBM; see the HLO audit in docs/PERF.md).
+    are CLAMPED, not zero-filled: rows of invalid slots contain the clamped
+    row's (real, finite) features and every consumer masks them out.  XLA's
+    TPU ``mode="fill"`` lowers to clamp-gather + a SEPARATE materialized
+    [N, K, F] ``select_n`` fusion (~5.9 M cycles / 384 MB extra traffic per
+    layer at the 100k config — the kCustom gather cannot host the select;
+    r4 full-step HLO audit), so the fill semantics cost a full edge-sized
+    HBM round trip that the downstream mask multiply already provides for
+    free inside the fused kernels.
     """
-    return jnp.take(h, senders, axis=0, mode="fill", fill_value=0)
+    return jnp.take(h, senders, axis=0, mode="clip")
 
 
 def _tds_fwd(h, senders, reverse_slot, mask):
@@ -159,11 +164,14 @@ def _tds_bwd(res, g):
     n, k = senders.shape
     f = g.shape[-1]
     gf = g.reshape(n * k, f)
-    # non-mutual/padding slots carry reverse_slot == n*k -> filled with 0
-    picked = jnp.take(
-        gf, reverse_slot.reshape(-1), axis=0, mode="fill", fill_value=0
-    ).reshape(n, k, f)
-    d_h = picked.sum(axis=1)
+    # non-mutual/padding slots carry reverse_slot == n*k: clamp the gather
+    # and zero their contribution INSIDE the reduction — the validity
+    # multiply fuses into the sum (one pass over the gathered rows), where
+    # fill mode would materialize a separate full [N·K, F] select fusion
+    rs = reverse_slot.reshape(-1)
+    valid = (rs < n * k).astype(g.dtype)
+    picked = jnp.take(gf, jnp.minimum(rs, n * k - 1), axis=0)
+    d_h = (picked * valid[:, None]).reshape(n, k, f).sum(axis=1)
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return d_h, z(senders), z(reverse_slot), z(mask)
 
@@ -187,9 +195,11 @@ def take_dense_symmetric_km(
 
     The reverse table stays node-major flat (``t*K + k``); the VJP remaps
     it to the cotangent's slot-major flat space (``k*N + t``) with two int
-    ops — padding slots (``>= N*K``) map out of range and read 0.
+    ops.  Padding slots are CLAMPED (see ``take_dense_symmetric``: fill
+    mode costs a separate materialized [K, N, F] select on TPU) — invalid
+    rows carry clamped real features and every consumer masks them.
     """
-    return jnp.take(h, senders.T, axis=0, mode="fill", fill_value=0)
+    return jnp.take(h, senders.T, axis=0, mode="clip")
 
 
 def _tds_km_fwd(h, senders, reverse_slot, mask):
@@ -206,12 +216,12 @@ def _tds_km_bwd(res, g):
     f = g.shape[-1]
     gf = g.reshape(k * n, f)
     rs = reverse_slot
-    # node-major flat slot t*K+k  ->  slot-major flat k*N+t; pad stays oob
-    rs_km = jnp.where(rs < n * k, (rs % k) * n + rs // k, k * n)
-    picked = jnp.take(
-        gf, rs_km.reshape(-1), axis=0, mode="fill", fill_value=0
-    ).reshape(n, k, f)
-    d_h = picked.sum(axis=1)
+    # node-major flat slot t*K+k -> slot-major flat k*N+t; padding clamps
+    # and is zeroed inside the reduction (fuses; see _tds_bwd)
+    valid = (rs < n * k).reshape(-1).astype(g.dtype)
+    rs_km = jnp.minimum((rs % k) * n + rs // k, k * n - 1)
+    picked = jnp.take(gf, rs_km.reshape(-1), axis=0)
+    d_h = (picked * valid[:, None]).reshape(n, k, f).sum(axis=1)
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return d_h, z(senders), z(reverse_slot), z(mask)
 
@@ -228,15 +238,17 @@ def take_dense_rev(
     """h[senders] whose VJP is a gather over a precomputed transpose table.
 
     The general form of ``take_dense_symmetric``: ``rev[m]`` lists the flat
-    edge-slot positions where node m appears as the sender (pad: >= R*K,
-    reads 0), so the sender gradient is a dense [M, Q] gather + sum instead
-    of the scatter-add XLA emits for a gather transpose.  Unlike the
-    symmetric trick it needs no reverse edges in the same slot space — it is
-    what makes the *partitioned* fused path scatter-free, where a receiver's
+    edge-slot positions where node m appears as the sender (pad: >= R*K),
+    so the sender gradient is a dense [M, Q] gather + sum instead of the
+    scatter-add XLA emits for a gather transpose.  Unlike the symmetric
+    trick it needs no reverse edges in the same slot space — it is what
+    makes the *partitioned* fused path scatter-free, where a receiver's
     reverse edge may live on another device (parallel/partition.py
-    ``rev_int``/``rev_ext``).
+    ``rev_int``/``rev_ext``).  Padding clamps (consumers mask; see
+    ``take_dense_symmetric`` for why fill mode costs a materialized
+    edge-sized select on TPU).
     """
-    return jnp.take(h, senders, axis=0, mode="fill", fill_value=0)
+    return jnp.take(h, senders, axis=0, mode="clip")
 
 
 def _tdr_fwd(h, senders, rev):
@@ -250,10 +262,10 @@ def _tdr_bwd(res, g):
     gf = g.reshape(r * k, f)
     m, q = rev.shape
     if q <= 16:
-        picked = jnp.take(
-            gf, rev.reshape(-1), axis=0, mode="fill", fill_value=0
-        ).reshape(m, q, f)
-        d_h = picked.sum(axis=1)
+        rv = rev.reshape(-1)
+        valid = (rv < r * k).astype(g.dtype)
+        picked = jnp.take(gf, jnp.minimum(rv, r * k - 1), axis=0)
+        d_h = (picked * valid[:, None]).reshape(m, q, f).sum(axis=1)
     else:
         # q-blocked accumulation: the one-shot gather materializes
         # [m, q, F] — at q=38/625k rows/F=90 that is ~6 GB PER LAYER per
@@ -265,10 +277,11 @@ def _tdr_bwd(res, g):
                        constant_values=r * k)  # pad slots read 0
 
         def body(i, acc):
-            cols = jax.lax.dynamic_slice_in_dim(revp, i * B, B, axis=1)
-            p = jnp.take(gf, cols.reshape(-1), axis=0, mode="fill",
-                         fill_value=0).reshape(m, B, f)
-            return acc + p.sum(axis=1)
+            cols = jax.lax.dynamic_slice_in_dim(revp, i * B, B,
+                                                axis=1).reshape(-1)
+            valid = (cols < r * k).astype(g.dtype)
+            p = jnp.take(gf, jnp.minimum(cols, r * k - 1), axis=0)
+            return acc + (p * valid[:, None]).reshape(m, B, f).sum(axis=1)
 
         d_h = jax.lax.fori_loop(
             0, qp // B, body, jnp.zeros((m, f), g.dtype))
