@@ -60,6 +60,7 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -108,7 +109,8 @@ class FusedMessageGeneric:
     """
 
     def __init__(self, layers: Sequence, k: int, tile: int = 16,
-                 bwd_tile: int = 0, residual_bwd: bool = True) -> None:
+                 bwd_tile: int = 0, residual_bwd: bool = True,
+                 fpad: int = 0, colpad: bool = False) -> None:
         self.layers = list(layers)
         self.k = k
         self.tile = tile
@@ -138,11 +140,61 @@ class FusedMessageGeneric:
                 and getattr(l.tp, "_gemm_default", lambda: False)()
             )
             self._gate_fast.append(g.fast_tables() if ok else None)
+        # fpad: lane-pad the [K, N, F] sender / [N, F] receiver operands and
+        # the folded-weight OUTPUT columns to this width.  F=90 bf16 rows
+        # (180 B) stream through the Pallas block DMA at ~108 GB/s vs ~266
+        # GB/s lane-aligned (tools/exp_dma_layout.py) — padding the big
+        # streams (hs fwd+bwd reads, dhs write, the saved-y residuals)
+        # trades 1.4x bytes for 2.5x bandwidth.  Requires every gated layer
+        # on the fast-gate path (the padded y's extra lanes are zeroed by
+        # psel's zero rows; the concat-form gate would misparse them).
+        # (every layer fast-gated: an ungated layer's padded y would leak
+        # its zero lanes into the next layer's unpadded row space)
+        self.fpad = fpad if all(t is not None for t in self._gate_fast) else 0
+        # colpad: pad only the folded OUTPUT columns to the 128-lane tile.
+        # The MXU already pads output lanes to 128 per pass, so the wider
+        # GEMM is FREE compute — but the saved-y residual streams (the
+        # biggest DMA at the 250k/1M configs) become lane-aligned.  Unlike
+        # fpad it does NOT widen the contraction dim (row-padding 181->257
+        # added a third 128-chunk to every GEMM contraction and measured
+        # +12 ms at the 250k step — rejected for this config class).
+        self.colpad = (colpad and not self.fpad
+                       and all(t is not None for t in self._gate_fast))
+        # layer-1 input rows are [hs(F) | hr(F) | d2]; with padding they
+        # become [hs(fpad) | hr(fpad) | d2] — fold scatters weight rows
+        # into the padded space via this embedding (built lazily: F comes
+        # from in1_dim = 2F+1)
+        if self.fpad:
+            c1 = self.layers[0].tp.in1_dim
+            F = (c1 - 1) // 2
+            assert F <= self.fpad, (F, self.fpad)
+            self._row_embed = np.concatenate([
+                np.arange(F), self.fpad + np.arange(F), [2 * self.fpad]
+            ]).astype(np.int32)
+            self._c1p_first = 2 * self.fpad + 1
+        # message output width (layer-N gate output) — differs from the
+        # receiver operand width when fpad is set
+        last = self.layers[-1]
+        self.out_dim = (last.gate.irreps_out.dim
+                        if getattr(last, "gate", None) is not None
+                        else last.tp.out_dim)
+        # per-layer padded folded OUT dims (column padding to the lane tile)
+        self._ydims = [
+            (-(-l.tp.out_dim // 128) * 128) if (self.fpad or self.colpad)
+            else l.tp.out_dim
+            for l in self.layers
+        ]
         # psel operands (fast layers only, in layer order) ride the kernel
         # as fixed-block VMEM inputs: array constants must not be closed
-        # over in a Mosaic kernel body
-        self._psel_ops = [jnp.asarray(t[1]) for t in self._gate_fast
-                          if t is not None]
+        # over in a Mosaic kernel body.  Rows pad to the padded y width.
+        self._psel_ops = []
+        for t, yd, l in zip(self._gate_fast, self._ydims, self.layers):
+            if t is None:
+                continue
+            ps = t[1]
+            if yd > ps.shape[0]:
+                ps = np.pad(ps, ((0, yd - ps.shape[0]), (0, 0)))
+            self._psel_ops.append(jnp.asarray(ps))
 
         # geometry rides a node-major lane-dense [N, K*(A+2)] operand and
         # expands to per-slot rows in-kernel: flat [R, 1] operands/residuals
@@ -189,8 +241,9 @@ class FusedMessageGeneric:
         materialization was the cost."""
         if "w_folded" not in p:
             return layer.tp(p, m, attr)
-        c1, c2 = layer.tp.in1_dim, layer.tp.in2_dim
+        c2 = layer.tp.in2_dim
         wf = p["w_folded"].astype(m.dtype)
+        c1 = wf.shape[-2] // c2  # padded row space under fpad (_fold)
         acc = None
         for c in range(c2):
             # row-scalar commutes through the GEMM: (m·attr_c) @ W_c ==
@@ -347,11 +400,12 @@ class FusedMessageGeneric:
 
         data_specs, w_specs = self._specs(tile, f, a, flat)
         w_specs = w_specs + self._psel_specs()
-        out_specs = pl.BlockSpec((tile, f), lambda i: (i, 0),
+        od = self.out_dim
+        out_specs = pl.BlockSpec((tile, od), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n, f), hr.dtype)
+        out_shape = jax.ShapeDtypeStruct((n, od), hr.dtype)
         if save:
-            dims = [l.tp.out_dim for l in self.layers]
+            dims = self._ydims
             out_specs = (out_specs,) + tuple(
                 pl.BlockSpec((self.k, tile, d), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM) for d in dims)
@@ -445,7 +499,7 @@ class FusedMessageGeneric:
         ) + tuple(
             pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM) for w in flat
         )
-        dagg_spec = [pl.BlockSpec((tile, f), lambda i: (i, 0),
+        dagg_spec = [pl.BlockSpec((tile, self.out_dim), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         outs = pl.pallas_call(
             kernel,
@@ -541,7 +595,8 @@ class FusedMessageGeneric:
                 # [R, D] scale pass per component instead of a [R, C1] scale
                 # plus a [R, D] scale
                 wf = wvals[i]["w_folded"].astype(dt)
-                c1, c2 = layer.tp.in1_dim, layer.tp.in2_dim
+                c2 = layer.tp.in2_dim
+                c1 = wf.shape[-2] // c2  # padded row space under fpad
                 dwb = []
                 acc = None
                 mi_t = ms[i].T
@@ -574,10 +629,9 @@ class FusedMessageGeneric:
         data_specs, w_specs = self._specs(tile, f, a, flat)
         w_specs = w_specs + self._psel_specs()
         fix = lambda i: (0, 0)
-        dims = [l.tp.out_dim for l in self.layers]
         y_specs = [pl.BlockSpec((self.k, tile, d), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM) for d in dims]
-        dagg_spec = [pl.BlockSpec((tile, f), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) for d in self._ydims]
+        dagg_spec = [pl.BlockSpec((tile, self.out_dim), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         out_shapes = (
             jax.ShapeDtypeStruct(hs.shape, hs.dtype),
@@ -624,9 +678,25 @@ class FusedMessageGeneric:
             tp = layer.tp
             if getattr(tp, "_gemm_default", lambda: False)():
                 fp = tp.fold_params(p)
+                wf = fp["w_folded"]
                 if self._gate_fast[i] is not None:
-                    perm = self._gate_fast[i][0]
-                    fp = {**fp, "w_folded": fp["w_folded"][:, perm]}
+                    wf = wf[:, self._gate_fast[i][0]]
+                if self.fpad or self.colpad:
+                    # column-pad outputs to the lane tile (aligned saved-y
+                    # DMA; the pad columns stay exactly zero), and under
+                    # fpad additionally scatter the first layer's rows into
+                    # the padded [hs(fpad) | hr(fpad) | d2] input space
+                    c2, d = tp.in2_dim, wf.shape[-1]
+                    dp = self._ydims[i]
+                    wf = jnp.pad(wf, ((0, 0), (0, dp - d)))
+                    if self.fpad and i == 0:
+                        c1 = tp.in1_dim
+                        wf = jnp.zeros(
+                            (c2, self._c1p_first, dp), wf.dtype
+                        ).at[:, self._row_embed].set(
+                            wf.reshape(c2, c1, dp)
+                        ).reshape(c2 * self._c1p_first, dp)
+                fp = {**fp, "w_folded": wf}
                 out.append(fp)
             else:
                 out.append(p)

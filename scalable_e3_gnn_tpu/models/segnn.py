@@ -722,10 +722,14 @@ class SEGNNLayer:
             # remat_kernel (the 1M-point HBM-fit mode) recomputes the kernel
             # forward at backward time anyway — saving pre-gate residuals
             # there would only add the [E, D] HBM traffic/footprint the mode
-            # exists to avoid, so the replay backward stays in force
+            # exists to avoid, so the replay backward stays in force.
+            # colpad: lane-align the saved-y residual streams (free on the
+            # MXU — see FusedMessageGeneric; operand/row padding measured a
+            # net regression and stays off).
             self._generic_kernels[key] = FusedMessageGeneric(
                 self.message_layers, k, tile=tile, bwd_tile=bwd,
                 residual_bwd=self.residual_bwd and not self.remat_kernel,
+                colpad=True,
             )
         kern = self._generic_kernels[key]
 

@@ -152,3 +152,42 @@ def test_geo_only_attrs_matches_full():
         geoonly = np.array(
             m_pal(params, g, attrs=(None, attrs[1], None, attrs[3])))
     np.testing.assert_allclose(geoonly, full, atol=1e-6)
+
+
+def test_colpad_matches_unpadded():
+    """colpad (lane-aligned saved-y residuals, the r4 model dispatch) vs the
+    unpadded kernel: forward + weight grads through the residual backward."""
+    from scalable_e3_gnn_tpu.kernels.fused_message_generic import (
+        FusedMessageGeneric)
+
+    n, k = 128, 8
+    m = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+              lmax_attr=2, num_layers=1, layout="cm", use_pallas=True)
+    lay = m.layers[0]
+    f = m.hidden_irreps.dim
+    a = Irreps.spherical_harmonics(2).dim
+    params = m.init(jax.random.key(0))["layer_0"]
+    ptuple = (params["msg_0"], params["msg_1"])
+    h = jax.random.normal(jax.random.key(1), (n, f), jnp.float32)
+    hs = jax.random.normal(jax.random.key(2), (k, n, f), jnp.float32)
+    attr = jax.random.normal(jax.random.key(3), (n * k, a), jnp.float32)
+    d2 = jax.random.uniform(jax.random.key(4), (n * k, 1), jnp.float32)
+    maskf = (jax.random.uniform(jax.random.key(5), (n * k, 1)) > 0.2).astype(
+        jnp.float32)
+    k0 = FusedMessageGeneric(lay.message_layers, k, tile=64, bwd_tile=64)
+    k1 = FusedMessageGeneric(lay.message_layers, k, tile=64, bwd_tile=64,
+                             colpad=True)
+    assert k1.colpad and not k0.colpad
+
+    def loss(kern):
+        return lambda pt: (
+            kern(pt, hs, h, d2, attr, maskf).astype(jnp.float32) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        l0, g0 = jax.value_and_grad(loss(k0))(ptuple)
+        l1, g1 = jax.value_and_grad(loss(k1))(ptuple)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=3e-6)
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        scale = float(jnp.abs(x).max()) or 1.0
+        np.testing.assert_allclose(np.array(x) / scale, np.array(y) / scale,
+                                   atol=3e-6)

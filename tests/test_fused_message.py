@@ -178,3 +178,50 @@ def test_tabled_gradients_match():
         g_pal = jax.grad(lambda p: ((m_pal(p, gt) - tgt) ** 2).mean())(params)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
         np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)
+
+
+def test_km2_gemm_form_matches_stacked_lane():
+    """GEMM-form (km2) vs stacked-lane km kernel: forward + all grads.
+
+    gemm_form=True is the production dispatch (r4); this pins the dormant
+    stacked-lane forward as its oracle so either regressing breaks CI."""
+    import dataclasses
+
+    from scalable_e3_gnn_tpu.kernels.fused_message import (
+        MessageConfig, fused_message_aggregate_km)
+    from scalable_e3_gnn_tpu.models.segnn import SEGNNLayer
+
+    n, k, tile = 256, 8, 64
+    layer = SEGNNLayer(Irreps("32x0e+16x1o"), Irreps.spherical_harmonics(1),
+                       layout="cm", use_pallas=True)
+    params = layer.init(jax.random.key(0))
+    w = layer._folded_weights(params, jnp.float32)
+    f = layer.hidden_irreps.dim
+    h = jax.random.normal(jax.random.key(1), (n, f), jnp.float32)
+    hs3 = jax.random.normal(jax.random.key(2), (k, n, f), jnp.float32)
+    attr3 = jax.random.normal(jax.random.key(3), (n, k, 4), jnp.float32)
+    d23 = jax.random.uniform(jax.random.key(4), (n, k), jnp.float32)
+    mask3 = (jax.random.uniform(jax.random.key(5), (n, k)) > 0.2).astype(
+        jnp.float32)
+    geo2 = jnp.concatenate(
+        [attr3, d23[..., None], mask3[..., None]], -1).reshape(n, k * 6)
+    cfg2 = MessageConfig(hs=32, hv=16, k=k, tile=tile, bwd_tile=tile,
+                         gemm_form=True)
+    cfg1 = dataclasses.replace(cfg2, gemm_form=False)
+
+    def loss(cfg):
+        def fn(hs_, h_, *w_):
+            out = fused_message_aggregate_km(cfg, hs_, h_, geo2, *w_)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return fn
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.value_and_grad(loss(cfg1), argnums=(0, 1, 2, 3, 4, 5))(
+            hs3, h, *w)
+        g2 = jax.value_and_grad(loss(cfg2), argnums=(0, 1, 2, 3, 4, 5))(
+            hs3, h, *w)
+    np.testing.assert_allclose(g1[0], g2[0], rtol=3e-6)
+    for a, b in zip(jax.tree.leaves(g1[1]), jax.tree.leaves(g2[1])):
+        scale = float(jnp.abs(a).max()) or 1.0
+        np.testing.assert_allclose(np.array(a) / scale, np.array(b) / scale,
+                                   atol=3e-6)

@@ -58,11 +58,14 @@ def test_generic_kernel_compiles_for_tpu(tpu_device):
     h = jnp.zeros((n, f), jnp.bfloat16)
     geo2 = jnp.zeros((n, k * (a + 2)), jnp.bfloat16)
 
-    for residual in (True, False):
+    for residual, colpad in ((True, True), (True, False), (False, False)):
+        # colpad=True is the model-dispatch configuration (r4: lane-aligned
+        # saved-y residual streams)
         kern = FusedMessageGeneric(layer.message_layers, k, tile=96,
                                    bwd_tile=96 if residual else 64,
-                                   residual_bwd=residual)
+                                   residual_bwd=residual, colpad=colpad)
         assert kern.residual_bwd == residual
+        assert kern.colpad == colpad
 
         def loss(args):
             p, hs_, h_ = args
