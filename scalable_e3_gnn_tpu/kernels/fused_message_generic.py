@@ -187,6 +187,11 @@ class FusedMessageGeneric:
         # psel operands (fast layers only, in layer order) ride the kernel
         # as fixed-block VMEM inputs: array constants must not be closed
         # over in a Mosaic kernel body.  Rows pad to the padded y width.
+        # Kept as NUMPY on purpose: the model constructs kernels lazily
+        # inside jit/remat traces and caches them — a jnp array created
+        # there is a tracer of that trace and leaks into the next one
+        # (UnexpectedTracerError at the 1M remat_kernel config, r4); numpy
+        # operands convert to constants of whichever trace binds them.
         self._psel_ops = []
         for t, yd, l in zip(self._gate_fast, self._ydims, self.layers):
             if t is None:
@@ -194,7 +199,7 @@ class FusedMessageGeneric:
             ps = t[1]
             if yd > ps.shape[0]:
                 ps = np.pad(ps, ((0, yd - ps.shape[0]), (0, 0)))
-            self._psel_ops.append(jnp.asarray(ps))
+            self._psel_ops.append(np.asarray(ps))
 
         # geometry rides a node-major lane-dense [N, K*(A+2)] operand and
         # expands to per-slot rows in-kernel: flat [R, 1] operands/residuals

@@ -191,3 +191,26 @@ def test_colpad_matches_unpadded():
         scale = float(jnp.abs(x).max()) or 1.0
         np.testing.assert_allclose(np.array(x) / scale, np.array(y) / scale,
                                    atol=3e-6)
+
+
+def test_kernel_constructed_inside_trace_does_not_leak():
+    """The model builds FusedMessageGeneric lazily inside jit traces and
+    caches it; any jnp array created in __init__ (the psel gate operands)
+    is a tracer of that first trace and leaks into any LATER trace that
+    reuses the cached kernel (UnexpectedTracerError at the 1M remat_kernel
+    bench config, r4 — the remat backward is a second trace).  Regression:
+    build the kernel inside one jitted grad trace, then trace a different
+    jitted function with the same cached kernel."""
+    _, m = _models(n_layers=1)
+    g = _graph(128, seed=3)
+    params = m.init(jax.random.key(3))
+    tgt = jnp.asarray(
+        np.random.default_rng(4).standard_normal((128, 3)), jnp.float32)
+
+    def loss(p):
+        return ((m(p, g) - tgt) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        jax.block_until_ready(jax.jit(jax.grad(loss))(params))  # builds kern
+        # a second, different trace must not see the first trace's tracers
+        jax.block_until_ready(jax.jit(lambda p: m(p, g) * 2.0)(params))

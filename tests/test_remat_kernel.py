@@ -73,3 +73,4 @@ def test_remat_kernel_matches_unremat(hidden, lmax):
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
