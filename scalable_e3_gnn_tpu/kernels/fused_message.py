@@ -1314,8 +1314,10 @@ def _take_rows(a, idx):
     # clip, not fill: TPU fill mode materializes a separate full-size
     # select fusion (ops/gather_scatter.take_dense_symmetric).  Safe here:
     # pad gtab rows are never selected by a valid in-kernel one-hot, and
-    # the rtab reduction masks explicitly below.
-    return jnp.take(a, jnp.minimum(idx, a.shape[0] - 1), axis=0)
+    # the rtab reduction masks explicitly below.  mode="clip" (not a
+    # jnp.minimum pre-clamp with the default fill mode, which keeps the
+    # compare + full-size NaN select in the HLO — r4 ADVICE.md).
+    return jnp.take(a, idx, axis=0, mode="clip")
 
 
 def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2):

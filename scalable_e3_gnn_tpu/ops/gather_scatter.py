@@ -44,7 +44,8 @@ def gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Out-of-range indices (edge padding) clip to the last row; callers relying
     on padding must mask downstream or scatter to the trash segment instead.
     """
-    return jnp.take(x, idx, axis=0, indices_are_sorted=False, unique_indices=False)
+    return jnp.take(x, idx, axis=0, mode="clip",
+                    indices_are_sorted=False, unique_indices=False)
 
 
 def segment_sum(
@@ -170,7 +171,7 @@ def _tds_bwd(res, g):
     # fill mode would materialize a separate full [N·K, F] select fusion
     rs = reverse_slot.reshape(-1)
     valid = (rs < n * k).astype(g.dtype)
-    picked = jnp.take(gf, jnp.minimum(rs, n * k - 1), axis=0)
+    picked = jnp.take(gf, rs, axis=0, mode="clip")
     d_h = (picked * valid[:, None]).reshape(n, k, f).sum(axis=1)
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return d_h, z(senders), z(reverse_slot), z(mask)
@@ -219,8 +220,8 @@ def _tds_km_bwd(res, g):
     # node-major flat slot t*K+k -> slot-major flat k*N+t; padding clamps
     # and is zeroed inside the reduction (fuses; see _tds_bwd)
     valid = (rs < n * k).reshape(-1).astype(g.dtype)
-    rs_km = jnp.minimum((rs % k) * n + rs // k, k * n - 1)
-    picked = jnp.take(gf, rs_km.reshape(-1), axis=0)
+    rs_km = (rs % k) * n + rs // k
+    picked = jnp.take(gf, rs_km.reshape(-1), axis=0, mode="clip")
     d_h = (picked * valid[:, None]).reshape(n, k, f).sum(axis=1)
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return d_h, z(senders), z(reverse_slot), z(mask)
@@ -264,7 +265,7 @@ def _tdr_bwd(res, g):
     if q <= 16:
         rv = rev.reshape(-1)
         valid = (rv < r * k).astype(g.dtype)
-        picked = jnp.take(gf, jnp.minimum(rv, r * k - 1), axis=0)
+        picked = jnp.take(gf, rv, axis=0, mode="clip")
         d_h = (picked * valid[:, None]).reshape(m, q, f).sum(axis=1)
     else:
         # q-blocked accumulation: the one-shot gather materializes
@@ -274,13 +275,13 @@ def _tdr_bwd(res, g):
         B = 16
         qp = -(-q // B) * B
         revp = jnp.pad(rev, ((0, 0), (0, qp - q)),
-                       constant_values=r * k)  # pad slots read 0
+                       constant_values=r * k)  # pad slots clip + mask to 0
 
         def body(i, acc):
             cols = jax.lax.dynamic_slice_in_dim(revp, i * B, B,
                                                 axis=1).reshape(-1)
             valid = (cols < r * k).astype(g.dtype)
-            p = jnp.take(gf, jnp.minimum(cols, r * k - 1), axis=0)
+            p = jnp.take(gf, cols, axis=0, mode="clip")
             return acc + (p * valid[:, None]).reshape(m, B, f).sum(axis=1)
 
         d_h = jax.lax.fori_loop(

@@ -208,6 +208,10 @@ def test_km2_gemm_form_matches_stacked_lane():
     cfg2 = MessageConfig(hs=32, hv=16, k=k, tile=tile, bwd_tile=tile,
                          gemm_form=True)
     cfg1 = dataclasses.replace(cfg2, gemm_form=False)
+    # gemm_form_bwd=True is opt-in (measured slower, PERF.md r4) but must
+    # stay correct: without this config both cfg1/cfg2 run the identical km
+    # backward and _bwd_kernel_km2 has zero coverage (r4 ADVICE.md)
+    cfg3 = dataclasses.replace(cfg2, gemm_form_bwd=True)
 
     def loss(cfg):
         def fn(hs_, h_, *w_):
@@ -220,8 +224,12 @@ def test_km2_gemm_form_matches_stacked_lane():
             hs3, h, *w)
         g2 = jax.value_and_grad(loss(cfg2), argnums=(0, 1, 2, 3, 4, 5))(
             hs3, h, *w)
+        g3 = jax.value_and_grad(loss(cfg3), argnums=(0, 1, 2, 3, 4, 5))(
+            hs3, h, *w)
     np.testing.assert_allclose(g1[0], g2[0], rtol=3e-6)
-    for a, b in zip(jax.tree.leaves(g1[1]), jax.tree.leaves(g2[1])):
-        scale = float(jnp.abs(a).max()) or 1.0
-        np.testing.assert_allclose(np.array(a) / scale, np.array(b) / scale,
-                                   atol=3e-6)
+    np.testing.assert_allclose(g1[0], g3[0], rtol=3e-6)
+    for gv in (g2, g3):
+        for a, b in zip(jax.tree.leaves(g1[1]), jax.tree.leaves(gv[1])):
+            scale = float(jnp.abs(a).max()) or 1.0
+            np.testing.assert_allclose(
+                np.array(a) / scale, np.array(b) / scale, atol=3e-6)

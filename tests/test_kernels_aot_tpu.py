@@ -58,9 +58,11 @@ def test_generic_kernel_compiles_for_tpu(tpu_device):
     h = jnp.zeros((n, f), jnp.bfloat16)
     geo2 = jnp.zeros((n, k * (a + 2)), jnp.bfloat16)
 
-    for residual, colpad in ((True, True), (True, False), (False, False)):
+    for residual, colpad in ((True, True), (True, False), (False, False),
+                             (False, True)):
         # colpad=True is the model-dispatch configuration (r4: lane-aligned
-        # saved-y residual streams)
+        # saved-y residual streams); (False, True) is the 1M production
+        # combination (remat_kernel forces residual_bwd=False — r4 ADVICE.md)
         kern = FusedMessageGeneric(layer.message_layers, k, tile=96,
                                    bwd_tile=96 if residual else 64,
                                    residual_bwd=residual, colpad=colpad)

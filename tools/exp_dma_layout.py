@@ -88,10 +88,6 @@ def main():
         timed(f"nm [N*K,F] blocks t{tile}", jax.jit(nm_stream(tile)), hs_nm)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def nm_copy(tile):
     """No reduction: copy first T rows only."""
     def kernel(hs_ref, out_ref):
@@ -117,6 +113,11 @@ def main2():
 
 
 if __name__ == "__main__":
+    # one dispatching block: `python exp_dma_layout.py` runs the km/nm
+    # sweep, `... 2` runs ONLY the copy-only A/B (r4 ADVICE.md: the split
+    # blocks ran main() unconditionally before main2())
     import sys
     if "2" in sys.argv[1:]:
         main2()
+    else:
+        main()
