@@ -3,7 +3,8 @@
 The experiment-config layer named in SURVEY.md §1.2 (top of the target
 stack).  Subcommands:
 
-  train  --config {nbody,qm9,cloud100k,cloud1m,cloud10m} [overrides]
+  train     --config {nbody,qm9,cloud100k,cloud1m,cloud10m} [overrides]
+  qm9-eval  --data-dir DIR [--target U0]   literature-protocol QM9 MAE
   info                      device/platform/version report
   configs                   list the evaluation-ladder configs
 
@@ -58,6 +59,19 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _cmd_qm9_eval(args) -> int:
+    from .train import runners
+
+    res = runners.run_qm9_protocol(
+        args.data_dir, target=args.target, steps=args.steps,
+        epochs=args.epochs, molecules=args.molecules,
+        batch_size=args.batch_size, seed=args.seed, log=args.log,
+        ckpt_dir=args.ckpt_dir,
+    )
+    print(json.dumps({"protocol": "qm9", **res}))
+    return 0
+
+
 def _cmd_info(_args) -> int:
     import jax
 
@@ -98,6 +112,27 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", action="store_true")
     t.add_argument("--log", type=str, default=None, help="metrics JSONL path")
     t.set_defaults(fn=_cmd_train)
+
+    q = sub.add_parser(
+        "qm9-eval",
+        help="literature-protocol QM9 eval: 110k/10k/rest split, train-split "
+        "z-scoring, per-property MAE in the reported unit (meV for energies)",
+    )
+    q.add_argument("--data-dir", required=True,
+                   help="directory of dsgdb9nsd *.xyz files "
+                   "(+ optional uncharacterized.txt)")
+    q.add_argument("--target", default="U0",
+                   help="QM9 property (U0, U, H, G, homo, lumo, gap, mu, "
+                   "alpha, r2, zpve, Cv, A, B, C)")
+    q.add_argument("--steps", type=int, default=None)
+    q.add_argument("--epochs", type=int, default=None)
+    q.add_argument("--molecules", type=int, default=None,
+                   help="cap loaded molecules (CI/smoke)")
+    q.add_argument("--batch-size", type=int, default=None)
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--ckpt-dir", type=str, default=None)
+    q.add_argument("--log", type=str, default=None)
+    q.set_defaults(fn=_cmd_qm9_eval)
 
     i = sub.add_parser("info", help="device/platform report")
     i.set_defaults(fn=_cmd_info)

