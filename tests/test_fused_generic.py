@@ -113,9 +113,14 @@ def test_residual_bwd_matches_recompute_bwd():
 
     kern_res = FusedMessageGeneric(layer.message_layers, k, tile=8,
                                    bwd_tile=8, residual_bwd=True)
-    kern_rec = FusedMessageGeneric(layer.message_layers, k, tile=8,
+    kern_rep = FusedMessageGeneric(layer.message_layers, k, tile=8,
                                    bwd_tile=8, residual_bwd=False)
+    kern_rec = FusedMessageGeneric(layer.message_layers, k, tile=8,
+                                   bwd_tile=8, residual_bwd=False,
+                                   replay_bwd=False)
     assert kern_res.residual_bwd and not kern_rec.residual_bwd
+    assert kern_rep.replay_bwd and not kern_rep.residual_bwd
+    assert not kern_rec.replay_bwd  # the jax.vjp fallback keeps coverage
 
     def loss(kern):
         return lambda args: (
@@ -125,12 +130,14 @@ def test_residual_bwd_matches_recompute_bwd():
         o_res = np.array(kern_res.geo_call(ptuple, hs, h, geo2))
         o_rec = np.array(kern_rec.geo_call(ptuple, hs, h, geo2))
         g_res = jax.grad(loss(kern_res))((ptuple, hs, h))
+        g_rep = jax.grad(loss(kern_rep))((ptuple, hs, h))
         g_rec = jax.grad(loss(kern_rec))((ptuple, hs, h))
     np.testing.assert_allclose(o_res, o_rec, atol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(g_res),
-                    jax.tree_util.tree_leaves(g_rec)):
-        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
-                                   rtol=1e-4)
+    for gv in (g_res, g_rep):
+        for a, b in zip(jax.tree_util.tree_leaves(gv),
+                        jax.tree_util.tree_leaves(g_rec)):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                                       rtol=1e-4)
 
 
 # NOTE: remat_kernel=True (the 1M-point memory mode) cannot be exercised in
@@ -214,3 +221,80 @@ def test_kernel_constructed_inside_trace_does_not_leak():
         jax.block_until_ready(jax.jit(jax.grad(loss))(params))  # builds kern
         # a second, different trace must not see the first trace's tracers
         jax.block_until_ready(jax.jit(lambda p: m(p, g) * 2.0)(params))
+
+
+def test_sym_regather_entry_matches():
+    """geo_call_sym (sender gather inside the custom_vjp, node-sized
+    residuals, replay backward) must match geo_call + take_dense_symmetric_km
+    in both forward and all gradients (r5: the remat_kernel 1M path)."""
+    from scalable_e3_gnn_tpu.kernels.fused_message_generic import (
+        FusedMessageGeneric)
+    from scalable_e3_gnn_tpu.ops.gather_scatter import take_dense_symmetric_km
+
+    m_ref, m_pal = _models()
+    layer = m_pal.layers[0]
+    g = _graph(128, seed=5)
+    n, k = g.senders.shape
+    params = m_pal.init(jax.random.key(5))
+    lp = params["layer_0"]
+    attrs = m_pal.compute_attributes_dense(g)
+    geo2 = attrs[3].reshape(n, -1)
+    f = m_pal.hidden_irreps.dim
+    h = jax.random.normal(jax.random.key(6), (n, f), jnp.float32)
+    ptuple = (lp["msg_0"], lp["msg_1"])
+    kern = FusedMessageGeneric(layer.message_layers, k, tile=8, bwd_tile=8,
+                               residual_bwd=False)
+    assert kern.replay_bwd
+
+    def loss_ref(args):
+        p, h_ = args
+        hs = take_dense_symmetric_km(h_, g.senders, g.reverse_slot,
+                                     g.edge_mask)
+        return (kern.geo_call(p, hs, h_, geo2) ** 2).sum()
+
+    def loss_sym(args):
+        p, h_ = args
+        return (kern.geo_call_sym(p, h_, geo2, g.senders,
+                                  g.reverse_slot) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        o_ref = np.array(kern.geo_call(
+            ptuple, take_dense_symmetric_km(h, g.senders, g.reverse_slot,
+                                            g.edge_mask), h, geo2))
+        o_sym = np.array(kern.geo_call_sym(ptuple, h, geo2, g.senders,
+                                           g.reverse_slot))
+        g_ref = jax.grad(loss_ref)((ptuple, h))
+        g_sym = jax.grad(loss_sym)((ptuple, h))
+    np.testing.assert_allclose(o_sym, o_ref, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sym)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                                   rtol=1e-4)
+
+
+def test_remat_kernel_sym_model_grads_match():
+    """A remat_kernel model now takes the sym-regather path (no checkpoint,
+    node-sized residuals) — its gradients must match the plain generic
+    model's.  This also gives remat_kernel its first interpret-mode
+    coverage (the old checkpoint path rejected interpret-mode effects)."""
+    m_plain = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+                    num_layers=2, layout="cm", lmax_attr=2, use_pallas=True)
+    m_rk = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+                 num_layers=2, layout="cm", lmax_attr=2, use_pallas=True,
+                 remat=True, remat_kernel=True, residual_bwd=False)
+    g = _graph(128, seed=7)
+    assert m_rk.layers[0]._sym_regather_eligible(128, True)
+    params = m_plain.init(jax.random.key(8))
+    tgt = jnp.asarray(np.random.default_rng(9).standard_normal((128, 3)),
+                      jnp.float32)
+
+    def loss(model):
+        return lambda p: ((model(p, g) - tgt) ** 2).mean()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_a = jax.grad(loss(m_plain))(params)
+        g_b = jax.grad(loss(m_rk))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                                   rtol=1e-4)

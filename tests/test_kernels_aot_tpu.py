@@ -58,16 +58,18 @@ def test_generic_kernel_compiles_for_tpu(tpu_device):
     h = jnp.zeros((n, f), jnp.bfloat16)
     geo2 = jnp.zeros((n, k * (a + 2)), jnp.bfloat16)
 
-    for residual, colpad in ((True, True), (True, False), (False, False),
-                             (False, True)):
-        # colpad=True is the model-dispatch configuration (r4: lane-aligned
-        # saved-y residual streams); (False, True) is the 1M production
-        # combination (remat_kernel forces residual_bwd=False — r4 ADVICE.md)
+    for residual, colpad, replay in (
+            (True, True, True), (True, False, True), (False, False, True),
+            (False, True, True),   # 1M production combo: replay bwd + colpad
+            (False, False, False),  # jax.vjp fallback keeps AOT coverage
+    ):
         kern = FusedMessageGeneric(layer.message_layers, k, tile=96,
                                    bwd_tile=96 if residual else 64,
-                                   residual_bwd=residual, colpad=colpad)
+                                   residual_bwd=residual, colpad=colpad,
+                                   replay_bwd=replay)
         assert kern.residual_bwd == residual
         assert kern.colpad == colpad
+        assert kern.replay_bwd == replay
 
         def loss(args):
             p, hs_, h_ = args

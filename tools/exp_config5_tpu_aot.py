@@ -51,12 +51,71 @@ st = make_train_state(model.init(jax.random.key(0)), opt)
 rep = NamedSharding(mesh, P())
 st_s = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
                                                    sharding=rep), st)
-comp = jstep.lower(st_s, sargs_s, tgt_s, attrs_s).compile()
+copts = {}
+if os.environ.get("DUMP"):
+    import tempfile
+    dump_dir = tempfile.mkdtemp(prefix="cfg5_hlo_")
+    copts = {"xla_dump_to": dump_dir,
+             "xla_dump_hlo_pass_re": "latency-hiding-scheduler"}
+comp = jstep.lower(st_s, sargs_s, tgt_s, attrs_s).compile(
+    compiler_options=copts or None)
 ma = comp.memory_analysis()
 print(f"COMPILED for {TOPO} ({PARTS} chips) at N={N}")
 print(f"per-chip: temp {ma.temp_size_in_bytes/2**30:.2f} GiB, "
       f"args {ma.argument_size_in_bytes/2**30:.2f} GiB "
       f"(HBM 15.75 GiB/chip)")
+
+if os.environ.get("DUMP"):
+    # backward-collective evidence at CONFIG-5 SCALE (VERDICT r4 missing
+    # #1): what do the gradient pass's collectives lower to, are they
+    # async, and what overlaps them in the scheduled module?
+    import glob
+    files = sorted(glob.glob(f"{dump_dir}/*after_latency-hiding-scheduler*"),
+                   key=lambda f: -len(open(f).read()))
+    lines = open(files[0]).read().splitlines()
+    kinds = {}
+    for ln in lines:
+        m = re.search(
+            r"= [a-z0-9\[\],{}:()*T ]*\b(all-gather|all-reduce|"
+            r"reduce-scatter|collective-permute)(-start|-done)?\(", ln)
+        if m:
+            shp = re.search(r"= ([a-z0-9]+\[[0-9,]*\])", ln)
+            key = (m.group(1) + (m.group(2) or ""),
+                   shp.group(1) if shp else "?")
+            kinds[key] = kinds.get(key, 0) + 1
+    print("collectives in the scheduled config-5 module:")
+    for (k, shp), c in sorted(kinds.items()):
+        print(f"  {c:3d} x {k:30s} {shp}")
+    kernel = re.compile(r"= .*custom-call.*tpu_custom_call")
+    fuse = re.compile(r"= .*(?:fusion|dot)\(")
+    start_re = re.compile(r"(%[\w.\-]+) = .* (?:all-gather|all-reduce|"
+                          r"collective-permute|reduce-scatter)-start\(")
+    done_re = re.compile(r"(?:all-gather|all-reduce|collective-permute|"
+                         r"reduce-scatter)-done\((%[\w.\-]+)")
+    open_w, report = {}, []
+    for i, ln in enumerate(lines):
+        m = start_re.search(ln)
+        if m:
+            open_w[m.group(1)] = [i, 0, 0]
+            continue
+        m = done_re.search(ln)
+        if m and m.group(1) in open_w:
+            st0 = open_w.pop(m.group(1))
+            report.append((m.group(1), st0[0], i, st0[1], st0[2]))
+            continue
+        if kernel.search(ln):
+            for k in open_w:
+                open_w[k][1] += 1
+        elif fuse.search(ln):
+            for k in open_w:
+                open_w[k][2] += 1
+    print(f"{len(report)} async windows:")
+    for k, s, d, ck, cf in report:
+        print(f"  {k}: start@{s} done@{d}, {ck} Mosaic + {cf} fusion/dot "
+              f"inside")
+    n_ov = sum(1 for *_, ck, cf in report if ck + cf > 0)
+    print(f"=> {n_ov}/{len(report)} async collective windows overlap "
+          f"compute at config-5 scale")
 
 # Round-3 result (2026-08-21):
 #   partition P=16: NI=624891 NB=119 H=118

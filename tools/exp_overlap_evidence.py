@@ -173,6 +173,108 @@ def tpu_schedule_evidence(parts=4, topology="v5e:2x2x1"):
     return report
 
 
+def tpu_schedule_evidence_train(parts=4, topology="v5e:2x2x1"):
+    """Backward-pass overlap evidence (VERDICT r4 missing #1): AOT-compile
+    the FULL dense distributed train step (fwd+bwd+psum+adam) for a real
+    v5e topology and scan the latency-hiding-scheduler dump for EVERY async
+    collective window — the forward halo all-gathers AND the gradient
+    pass's collectives (the all-gather transposes/reduce-scatters and the
+    grad/loss all-reduces) — counting the Mosaic custom-calls and fusions
+    the TPU scheduler placed inside each start..done window.
+
+    ``topology="v5e:4x4x1", parts=16`` covers the DCN-spanning 4-host case.
+    """
+    import optax
+    from jax.experimental import topologies
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scalable_e3_gnn_tpu.train.pipeline import make_train_state
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name=topology)
+    mesh = Mesh(np.array(topo.devices)[:parts].reshape(parts), ("graph",))
+    part = build(n=4096, parts=parts)
+    model = SEGNN(Irreps("2x0e+1x1o"), Irreps("32x0e+16x1o"), Irreps("1x1o"),
+                  num_layers=4, layout="cm", use_pallas=True)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    state = make_train_state(params, opt)
+    args = H._shard_args_dense(part)
+    sh = lambda x: jax.ShapeDtypeStruct(
+        x.shape, x.dtype,
+        sharding=NamedSharding(mesh, P("graph", *([None] * (x.ndim - 1)))))
+    args_s = tuple(sh(jnp.asarray(a)) for a in args)
+    cpu_devs = jax.devices()[:parts]
+    if len(cpu_devs) < parts:
+        cpu_devs = [jax.devices()[0]] * parts
+    cpu_attrs = jax.eval_shape(
+        lambda a: H.make_dist_geometry_dense(model, Mesh(
+            np.array(cpu_devs).reshape(parts), ("graph",)))(a),
+        tuple(jnp.asarray(a) for a in args))
+    attrs_s = jax.tree.map(sh, cpu_attrs)
+    repl = lambda x: jax.ShapeDtypeStruct(
+        np.shape(x), np.asarray(x).dtype, sharding=NamedSharding(mesh, P()))
+    state_s = jax.tree.map(repl, state)
+    tgt_s = jax.ShapeDtypeStruct(
+        (part.global_ids.shape[0], model.output_irreps.dim), np.float32,
+        sharding=NamedSharding(mesh, P("graph")))
+
+    jstep = H.make_dist_train_step_dense(model, opt, mesh).jit_step
+
+    import glob
+    import tempfile
+
+    dump = tempfile.mkdtemp(prefix="overlap_bwd_hlo_")
+    jstep.lower(state_s, args_s, tgt_s, attrs_s).compile(compiler_options={
+        "xla_dump_to": dump,
+        "xla_dump_hlo_pass_re": "latency-hiding-scheduler",
+    })
+    files = glob.glob(f"{dump}/*after_latency-hiding-scheduler*")
+    if not files:
+        print("# (no latency-hiding-scheduler dump produced)")
+        return []
+    # pick the main entry module (largest dump)
+    files.sort(key=lambda f: -len(open(f).read()))
+    lines = open(files[0]).read().splitlines()
+    kernel = re.compile(r"= .*custom-call.*tpu_custom_call")
+    fuse = re.compile(r"= .*(?:fusion|dot)\(")
+    start_re = re.compile(
+        r"(%[\w.\-]+) = .* (?:all-gather|all-reduce|collective-permute|"
+        r"reduce-scatter)-start\(")
+    async_re = re.compile(r"(%[\w.\-]+) = .* async-start")
+    done_re = re.compile(
+        r"(?:all-gather|all-reduce|collective-permute|reduce-scatter)"
+        r"-done\((%[\w.\-]+)")
+    adone_re = re.compile(r"async-done\((%[\w.\-]+)")
+    open_w, report = {}, []
+    for i, ln in enumerate(lines):
+        m = start_re.search(ln) or async_re.search(ln)
+        if m and "-done" not in ln:
+            open_w[m.group(1)] = [i, 0, 0]
+            continue
+        m = done_re.search(ln) or adone_re.search(ln)
+        if m and m.group(1) in open_w:
+            st = open_w.pop(m.group(1))
+            report.append((m.group(1), st[0], i, st[1], st[2]))
+            continue
+        if kernel.search(ln):
+            for k in open_w:
+                open_w[k][1] += 1
+        elif fuse.search(ln):
+            for k in open_w:
+                open_w[k][2] += 1
+    print(f"# TPU {topology} ({parts} chips) FULL TRAIN STEP "
+          f"latency-hiding schedule: {len(report)} async collective windows")
+    for k, s, d, ck, cf in report:
+        print(f"#   {k}: start@{s} done@{d}, {ck} Mosaic kernel(s) + "
+              f"{cf} fusion/dot op(s) inside")
+    n_overlap = sum(1 for *_, ck, cf in report if ck + cf > 0)
+    print(f"# => {n_overlap}/{len(report)} collective windows overlap "
+          f"compute in the scheduled TPU module (fwd halo + BWD gradient "
+          f"collectives)")
+    return report
+
+
 def main():
     devices = jax.devices()
     assert len(devices) >= 8 and devices[0].platform == "cpu", devices

@@ -56,10 +56,12 @@ def main():
     print("edges:", int(g.edge_mask.sum()), flush=True)
     tgt = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
 
-    for residual in (False, True):
+    # (residual, replay): vjp fallback / hand replay (r5) / saved residuals
+    for residual, replay in ((False, False), (False, True), (True, True)):
         m = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"),
                   Irreps("1x1o"), lmax_attr=2, num_layers=4, remat=True,
-                  layout="cm", use_pallas=True, residual_bwd=residual)
+                  layout="cm", use_pallas=True, residual_bwd=residual,
+                  replay_bwd=replay)
         p = m.init(jax.random.key(0))
         a = jax.jit(m.compute_attributes_dense)(g)
         gb = g._replace(nodes=g.nodes.astype(bf))
@@ -73,7 +75,8 @@ def main():
         step = make_train_step(loss, optax.adam(1e-3), donate=False)
         st = make_train_state(p, optax.adam(1e-3))
         dt = _timed_step(step, st, (gb, a, tgt))
-        print(f"residual_bwd={residual}: step {dt*1e3:.1f} ms", flush=True)
+        print(f"residual_bwd={residual} replay_bwd={replay}: "
+              f"step {dt*1e3:.1f} ms", flush=True)
         del st, step, m, p, a, gb
 
 
