@@ -291,7 +291,9 @@ def main():
     rows2 = 250_000 * 16
     lmax2_floor_s = 3 * kernel_flops_per_row(m2) * rows2 / MXU_BF16_PEAK
     rows4 = n1m * 16
-    c4_floor_s = 4 * kernel_flops_per_row(m4) * rows4 / MXU_BF16_PEAK
+    # sym-regather path (r5): fwd + replay-backward = 3x the forward chain
+    # (the remat_kernel checkpoint replay that made this 4x is gone)
+    c4_floor_s = 3 * kernel_flops_per_row(m4) * rows4 / MXU_BF16_PEAK
 
     print(
         json.dumps(

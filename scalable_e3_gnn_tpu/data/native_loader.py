@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["available", "morton_encode_sort", "gather_rows", "load_points_bin",
-           "rev_counts", "rev_table"]
+           "rev_counts", "rev_table", "rev_table_multi"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "loader.cpp")
 _LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "_native")
@@ -77,7 +77,9 @@ def _get() -> Optional[ctypes.CDLL]:
                 ]
                 i32p = ctypes.POINTER(ctypes.c_int32)
                 u8p = ctypes.POINTER(ctypes.c_uint8)
-                if hasattr(_lib, "e3_rev_count"):
+                if not hasattr(_lib, "e3_rev_fill_multi"):
+                    _lib = _build()  # stale library from an older revision
+                if _lib is not None:
                     _lib.e3_rev_count.argtypes = [
                         i32p, u8p, ctypes.c_int64, ctypes.c_int64, i32p,
                     ]
@@ -85,16 +87,10 @@ def _get() -> Optional[ctypes.CDLL]:
                         i32p, u8p, ctypes.c_int64, ctypes.c_int64,
                         ctypes.c_int32, ctypes.c_int32, i32p,
                     ]
-                else:  # stale library from an older source revision
-                    _lib = _build()
-                    if _lib is not None:
-                        _lib.e3_rev_count.argtypes = [
-                            i32p, u8p, ctypes.c_int64, ctypes.c_int64, i32p,
-                        ]
-                        _lib.e3_rev_fill.argtypes = [
-                            i32p, u8p, ctypes.c_int64, ctypes.c_int64,
-                            ctypes.c_int32, ctypes.c_int32, i32p,
-                        ]
+                    _lib.e3_rev_fill_multi.argtypes = [
+                        i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p,
+                    ]
         return _lib
 
 
@@ -167,6 +163,39 @@ def gather_rows(src: np.ndarray, order: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def rev_table_multi(
+    tgt: np.ndarray,  # [P, S] int32 flat targets per partition
+    mask: Optional[np.ndarray],  # [P, S] bool, or None
+    n_targets: int,
+    sentinel: int,
+    q: int,
+) -> Optional[np.ndarray]:
+    """Batched [P, n_targets, q] rev tables in ONE native call.
+
+    Sentinel fill streams over the whole output (std::fill — the
+    per-target scalar tails of ``e3_rev_fill`` dominated the 10M dense
+    partition at 2.4 GB of mostly-sentinel rev_ext), and partitions
+    scatter concurrently (one thread + one cursor histogram per
+    partition).  10M/P=16 rev tables: 9.9 s -> ~1.5 s host
+    (tools/exp_partition_native.py).  None when the library is absent."""
+    lib = _get()
+    if lib is None or not hasattr(lib, "e3_rev_fill_multi"):
+        return None
+    P, S = tgt.shape
+    tgt = np.ascontiguousarray(tgt, np.int32)
+    mk = None if mask is None else np.ascontiguousarray(mask, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    mp = mk.ctypes.data_as(u8p) if mk is not None else ctypes.cast(None, u8p)
+    rev = np.empty((P, n_targets, q), np.int32)
+    lib.e3_rev_fill_multi(
+        tgt.ctypes.data_as(i32p), mp, ctypes.c_int64(P), ctypes.c_int64(S),
+        ctypes.c_int64(n_targets), ctypes.c_int32(q),
+        ctypes.c_int32(sentinel), rev.ctypes.data_as(i32p),
+    )
+    return rev
 
 
 def load_points_bin(path: str, dim: int = 3) -> np.ndarray:

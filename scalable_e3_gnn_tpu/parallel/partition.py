@@ -238,20 +238,25 @@ def partition_graph_dense(
     # 40 s 10M/152M-edge partition, tools/exp_partition_native.py); numpy
     # fallback below keeps the package dependency-free.
     def rev_native(s_blk, m_blk, n_targets, sentinel):
-        from ..data.native_loader import available, rev_counts, rev_table
+        from ..data.native_loader import (available, rev_counts, rev_table,
+                                          rev_table_multi)
 
         if not available():
             return None
-        flat = [(np.ascontiguousarray(s_blk[p].ravel()),
-                 np.ascontiguousarray(m_blk[p].ravel()))
-                for p in range(num_parts)]
-        counts = [rev_counts(t, m, n_targets) for t, m in flat]
+        tgt2 = np.ascontiguousarray(
+            s_blk.reshape(num_parts, -1), np.int32)
+        mk2 = np.ascontiguousarray(m_blk.reshape(num_parts, -1), np.uint8)
+        counts = [rev_counts(tgt2[p], mk2[p], n_targets)
+                  for p in range(num_parts)]
         if any(c is None for c in counts):
             return None
         q = max(max((int(c.max()) for c in counts), default=0), 1)
+        rev = rev_table_multi(tgt2, mk2, n_targets, sentinel, q=q)
+        if rev is not None:
+            return rev
         rev = np.empty((num_parts, n_targets, q), np.int32)
-        for p, (t, m) in enumerate(flat):
-            rev_table(t, m, n_targets, sentinel, q=q, out=rev[p])
+        for p in range(num_parts):
+            rev_table(tgt2[p], mk2[p], n_targets, sentinel, q=q, out=rev[p])
         return rev
 
     def rev_lists(s_blk, m_blk, n_targets):

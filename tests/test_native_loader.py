@@ -109,3 +109,27 @@ def test_partition_dense_native_matches_numpy_rev(monkeypatch):
         for p in range(a.shape[0]):
             np.testing.assert_array_equal(np.sort(a[p], axis=1),
                                           np.sort(b[p], axis=1))
+
+
+def test_rev_table_multi_matches_per_partition():
+    """Batched e3_rev_fill_multi == per-partition rev_table (same q), with
+    rows in ascending-slot order and sentinel padding."""
+    from scalable_e3_gnn_tpu.data.native_loader import (
+        available, rev_counts, rev_table, rev_table_multi)
+
+    if not available():
+        import pytest
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(7)
+    P, R, K, nt = 4, 200, 8, 210
+    tgt = rng.integers(0, nt + 20, (P, R * K)).astype(np.int32)  # some OOR
+    mask = (rng.random((P, R * K)) < 0.9).astype(np.uint8)
+    q = max(int(rev_counts(tgt[p], mask[p], nt).max()) for p in range(P))
+    sent = R * K
+    multi = rev_table_multi(tgt, mask, nt, sent, q=q)
+    assert multi is not None and multi.shape == (P, nt, q)
+    for p in range(P):
+        single = rev_table(tgt[p], mask[p], nt, sent, q=q)
+        # row contents are order-unspecified sets; compare sorted
+        np.testing.assert_array_equal(np.sort(multi[p], axis=1),
+                                      np.sort(single, axis=1))
