@@ -72,8 +72,8 @@ def main():
         return jnp.concatenate(
             [tab, jnp.full((pad_c, cap, 3), 1e9, jnp.float32)], axis=0)
 
-    def body(stage, celltab=None):
-        def one_block(b):
+    def body(stage, with_tab=False):
+        def one_block(b, celltab=None):
             c0 = b * cb
             ccode = jax.lax.dynamic_slice(code_p, (c0,), (cb,))
             cstart = jax.lax.dynamic_slice(start_p, (c0,), (cb,))
@@ -120,6 +120,65 @@ def main():
                       + jnp.sum(cpts * cpts, -1)[:, None, :] - 2.0 * rq)
             if stage in ("d2", "d2_bf16"):
                 return d2.sum()
+            if stage.startswith("approx_bf16d2"):
+                # bf16 recentered d2 (20x cheaper than highest-f32), f32
+                # KEYS for approx_min_k (bf16 keys measured 30s+), no
+                # refine — d2 only drives neighbor selection; the graph
+                # recomputes geometry from positions downstream
+                ctr = rpts[:, :1, :]
+                s = jnp.float32(1.0 / (4.0 * r))
+                rb = ((rpts - ctr) * s).astype(jnp.bfloat16)
+                qb = ((cpts - ctr) * s).astype(jnp.bfloat16)
+                rqb = jax.lax.dot_general(
+                    rb, qb, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                d2b = (jnp.sum(rb.astype(jnp.float32) ** 2, -1)[..., None]
+                       + jnp.sum(qb.astype(jnp.float32) ** 2, -1)[:, None, :]
+                       - 2.0 * rqb)
+                validb = (cvalidf[:, None, :]
+                          & (slot < ccount[:, None])[..., None])
+                key = jnp.where(validb, d2b, jnp.float32(1e9)).reshape(
+                    cb * cap, 27 * cap)
+                rc = float(stage.split("@")[1]) if "@" in stage else 0.95
+                sk, pos = jax.lax.approx_min_k(key, k, recall_target=rc)
+                return sk.sum() + pos.sum().astype(jnp.float32)
+            if stage == "twostage":
+                # bf16 recentered d2 -> approx shortlist of 2K -> exact
+                # refine: gather shortlist coords, fp32 d2, full sort
+                ctr = rpts[:, :1, :]
+                s = jnp.float32(1.0 / (4.0 * r))
+                rb = ((rpts - ctr) * s).astype(jnp.bfloat16)
+                qb = ((cpts - ctr) * s).astype(jnp.bfloat16)
+                rqb = jax.lax.dot_general(
+                    rb, qb, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                d2b = (jnp.sum(rb.astype(jnp.float32) ** 2, -1)[..., None]
+                       + jnp.sum(qb.astype(jnp.float32) ** 2, -1)[:, None, :]
+                       - 2.0 * rqb)
+                validb = (cvalidf[:, None, :]
+                          & (slot < ccount[:, None])[..., None])
+                big = jnp.float32(1e9)
+                keyb = jnp.where(validb, d2b, big).reshape(
+                    cb * cap, 27 * cap).astype(jnp.bfloat16)
+                _, pos = jax.lax.approx_min_k(keyb, 2 * k,
+                                              recall_target=0.95)
+                candr = jnp.take_along_axis(
+                    jnp.broadcast_to(candf[:, None, :],
+                                     (cb, cap, 27 * cap)).reshape(
+                        cb * cap, 27 * cap), pos, axis=1)  # [rows, 2k]
+                vr = jnp.take_along_axis(
+                    validb.reshape(cb * cap, 27 * cap), pos, axis=1)
+                csel = jnp.take(p, candr.reshape(-1), axis=0).reshape(
+                    cb * cap, 2 * k, 3)
+                rsel = rpts.reshape(cb * cap, 1, 3)
+                d2e = jnp.sum((csel - rsel) ** 2, axis=-1)
+                rowsf2 = (cstart[:, None] + slot).reshape(cb * cap)
+                keye = jnp.where(
+                    vr & (d2e <= r * r)
+                    & (candr != rowsf2[:, None]), d2e, big)
+                sk, order = jax.lax.sort_key_val(keye, candr, dimension=1)
+                return (sk[:, :k].sum()
+                        + order[:, :k].sum().astype(jnp.float32))
             valid = (cvalidf[:, None, :] &
                      (slot < ccount[:, None])[..., None]).reshape(
                 cb * cap, 27 * cap)
@@ -133,6 +192,9 @@ def main():
                 selection=sel)
             return s_cs.sum().astype(jnp.float32) + m_cs.sum()
 
+        if with_tab:
+            return jax.jit(lambda tab: jax.lax.map(
+                lambda b: one_block(b, celltab=tab), jnp.arange(nb)).sum())
         return jax.jit(lambda _: jax.lax.map(
             one_block, jnp.arange(nb)).sum())
 
@@ -147,16 +209,14 @@ def main():
 
     tab = None
     t_tab = None
-    for stage in ("stencil", "gather", "d2", "d2_bf16", "sort", "approx"):
-        dt = timed(body(stage), 0)
-        print(f"# {stage:10s}: {dt:.2f}s", flush=True)
     jtab = jax.jit(build_celltab)
     t_tab = timed(jtab, p)
-    tab2 = jtab(p).reshape(capc + pad_c, cap * 3)
+    tab3 = jtab(p)  # [capc+pad, cap, 3] device array — passed as ARG
     print(f"# celltab build: {t_tab:.2f}s", flush=True)
-    for stage in ("gather", "d2", "approx"):
-        dt = timed(body(stage, celltab=tab2.reshape(-1, cap, 3)), 0)
-        print(f"# {stage:10s} (celltab): {dt:.2f}s", flush=True)
+    for stage in ("approx_bf16d2", "approx_bf16d2@0.85",
+                  "approx_bf16d2@0.7", "approx"):
+        dt = timed(body(stage, with_tab=True), tab3)
+        print(f"# {stage:18s} (celltab): {dt:.2f}s", flush=True)
 
 
 if __name__ == "__main__":
