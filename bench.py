@@ -108,15 +108,19 @@ def main():
     )
     jax.block_until_ready(e10.senders)
     radius10m_s = time.time() - t0
+    # approx2 (r5): celltab gather + recentered-bf16 d2 + approx_min_k at
+    # recall 0.85 — selection drives only the neighbor CHOICE (geometry is
+    # recomputed from positions downstream); accuracy gated by
+    # tools/exp_approx_accuracy.py + tests/test_graph_builders.py
     e10a = radius_graph_cell_segments(  # warm (compile)
         tree10, r10, LO, HI, max_neighbors=16, cell_capacity=cap10,
-        num_segments=10, selection="approx",
+        num_segments=10, selection="approx2", approx_recall=0.85,
     )
     jax.block_until_ready(e10a.senders)
     t0 = time.time()
     e10a = radius_graph_cell_segments(
         tree10, r10, LO, HI, max_neighbors=16, cell_capacity=cap10,
-        num_segments=10, selection="approx",
+        num_segments=10, selection="approx2", approx_recall=0.85,
     )
     jax.block_until_ready(e10a.senders)
     radius10m_approx_s = time.time() - t0

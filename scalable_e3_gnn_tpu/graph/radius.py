@@ -209,7 +209,7 @@ def _stencil_lookup(level_codes, cell_code, cell_start, cell_count, level):
     found = (jnp.take(cell_code, pos) == ncode) & in_box
     start = jnp.take(cell_start, pos)
     count = jnp.where(found, jnp.take(cell_count, pos), 0)
-    return start, count
+    return start, count, pos.astype(jnp.int32)
 
 
 def radius_graph_cell(
@@ -317,12 +317,26 @@ def _cell_major_slots(
     count_p = jnp.concatenate([cell_count, jnp.zeros((pad_c,), jnp.int32)])
     slot = jnp.arange(cap, dtype=jnp.int32)
 
+    # cap-padded per-cell coordinate table: the stencil candidate fetch
+    # becomes 27 whole-cell row reads per cell (cap x 12-byte rows) instead
+    # of 27*cap random 12-byte point rows — candidate gather 6.85 s ->
+    # 2.75 s at 10M/cap=80 (tools/exp_radius_stages.py).  Invalid slots
+    # hold a 1e9 sentinel coordinate (d² huge; selection also masks them
+    # explicitly, so the sentinel is belt-and-braces).
+    tab_idx = jnp.clip(cell_start[:, None] + slot[None, :], 0, n - 1)
+    tab_valid = slot[None, :] < cell_count[:, None]
+    celltab = jnp.take(pts, tab_idx.reshape(-1), axis=0).reshape(
+        capc, cap, 3)
+    celltab = jnp.where(tab_valid[..., None], celltab, jnp.float32(1e9))
+    celltab = jnp.concatenate(
+        [celltab, jnp.full((cb, cap, 3), 1e9, jnp.float32)])
+
     def one_block(b):
         c0 = cells0 + b * cb
         ccode = jax.lax.dynamic_slice(code_p, (c0,), (cb,))
         cstart = jax.lax.dynamic_slice(start_p, (c0,), (cb,))
         ccount = jax.lax.dynamic_slice(count_p, (c0,), (cb,))
-        nstart, ncount = _stencil_lookup(
+        nstart, ncount, npos = _stencil_lookup(
             ccode, cell_code, cell_start, cell_count, level
         )  # [cb, 27]
         cand = nstart[..., None] + slot  # [cb, 27, cap]
@@ -330,20 +344,46 @@ def _cell_major_slots(
         cand = jnp.where(cvalid, cand, 0)
         candf = cand.reshape(cb, 27 * cap)
         cvalidf = cvalid.reshape(cb, 27 * cap)
-        cpts = jnp.take(pts, candf, axis=0)  # [cb, 27*cap, 3] — once per CELL
+        cpts = jnp.take(celltab, npos.reshape(-1), axis=0).reshape(
+            cb, 27 * cap, 3)  # whole-cell rows (celltab above)
         rows_idx = cstart[:, None] + slot  # [cb, cap]
         rvalid = slot < ccount[:, None]
-        rows_idx_c = jnp.where(rvalid, rows_idx, 0)
-        rpts = jnp.take(pts, rows_idx_c, axis=0)  # [cb, cap, 3]
-        # d² = |r|² + |q|² - 2 r·q: the cross term is one batched MXU matmul;
-        # no [.., 3]-trailing elementwise tensors anywhere
-        rq = jax.lax.dot_general(
-            rpts, cpts, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision="highest",
-        )  # [cb, cap, 27*cap]
-        r2 = jnp.sum(rpts * rpts, axis=-1)  # [cb, cap]
-        q2 = jnp.sum(cpts * cpts, axis=-1)  # [cb, 27*cap]
-        d2 = jnp.maximum(r2[..., None] + q2[:, None, :] - 2.0 * rq, 0.0)
+        rpts = jax.lax.dynamic_slice(
+            celltab, (c0, 0, 0), (cb, cap, 3))  # receivers = own cells
+        rpts = jnp.where(rvalid[..., None], rpts, 0.0)
+        r_eff = radius
+        if selection == "approx2":
+            # recentered bf16 distances: coordinates relative to the
+            # block's first receiver, scaled to O(1) so |r|²+|q|²-2rq
+            # survives bf16 (raw [0,1]³ coordinates cancel catastrophically
+            # — docs/PERF.md graph-build lessons).  d² only drives
+            # SELECTION (geometry recomputes from positions downstream);
+            # the bf16 MXU pass is ~20x cheaper than 6-pass "highest" f32,
+            # and with recall 0.85 the whole select stage ran 18.1 s ->
+            # 4.1 s at 10M (tools/exp_radius_stages.py; accuracy gate:
+            # tools/exp_approx_accuracy.py).
+            s = jnp.float32(1.0 / (4.0 * radius))
+            ctr = rpts[:, :1, :]
+            rb = ((rpts - ctr) * s).astype(jnp.bfloat16)
+            qb = ((cpts - ctr) * s).astype(jnp.bfloat16)
+            rq = jax.lax.dot_general(
+                rb, qb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            r2 = jnp.sum(rb.astype(jnp.float32) ** 2, axis=-1)
+            q2 = jnp.sum(qb.astype(jnp.float32) ** 2, axis=-1)
+            d2 = jnp.maximum(r2[..., None] + q2[:, None, :] - 2.0 * rq, 0.0)
+            r_eff = 0.25  # radius * s in the scaled space
+        else:
+            # d² = |r|² + |q|² - 2 r·q: the cross term is one batched MXU
+            # matmul; no [.., 3]-trailing elementwise tensors anywhere
+            rq = jax.lax.dot_general(
+                rpts, cpts, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision="highest",
+            )  # [cb, cap, 27*cap]
+            r2 = jnp.sum(rpts * rpts, axis=-1)  # [cb, cap]
+            q2 = jnp.sum(cpts * cpts, axis=-1)  # [cb, 27*cap]
+            d2 = jnp.maximum(r2[..., None] + q2[:, None, :] - 2.0 * rq, 0.0)
         rowsf = rows_idx.reshape(cb * cap)
         valid = (cvalidf[:, None, :] & rvalid[..., None]).reshape(
             cb * cap, 27 * cap
@@ -354,10 +394,10 @@ def _cell_major_slots(
                 cb * cap, 27 * cap
             ),
             valid,
-            radius,
+            r_eff,
             rowsf,
             k,
-            selection=selection,
+            selection="approx" if selection == "approx2" else selection,
             approx_recall=approx_recall,
         )
 
@@ -484,7 +524,7 @@ def _radius_graph_row_major(
         rcodes = jax.lax.dynamic_slice(codes_pad, (sl,), (block_size,))
         row_idx = sl + jnp.arange(block_size, dtype=jnp.int32)
         # stencil cells of each row's level cell (lane-major bit math)
-        start, count = _stencil_lookup(
+        start, count, _ = _stencil_lookup(
             rcodes >> cshift, cell_code, cell_start, cell_count, level
         )  # [B, 27]
         # candidate sorted-point indices
@@ -509,7 +549,9 @@ def _radius_graph_row_major(
             radius,
             row_idx,
             k,
-            selection=selection,
+            # approx2's bf16-d2 form is cell-major only; row-major maps it
+            # to the plain approx selection on exact d2
+            selection="approx" if selection == "approx2" else selection,
             approx_recall=approx_recall,
         )
 

@@ -111,7 +111,12 @@ class FusedMessageGeneric:
     def __init__(self, layers: Sequence, k: int, tile: int = 16,
                  bwd_tile: int = 0, residual_bwd: bool = True,
                  fpad: int = 0, colpad: bool = False,
-                 replay_bwd: bool = True) -> None:
+                 replay_bwd: bool = True, dw_dotgen: bool = False) -> None:
+        # dw_dotgen: express dW'_c = m^T @ dya as a dot_general contracting
+        # dim 0 of both operands (no materialized .T — Mosaic can fold the
+        # operand transpose into the MXU pass); A/B flag, default off until
+        # measured
+        self.dw_dotgen = dw_dotgen
         self.layers = list(layers)
         self.k = k
         self.tile = tile
@@ -410,11 +415,16 @@ class FusedMessageGeneric:
             c1 = wf.shape[-2] // c2  # padded row space under fpad
             dwb = []
             acc = None
-            mi_t = ms[i].T
+            mi_t = None if self.dw_dotgen else ms[i].T
             for c in range(c2):
                 dya = dy * attr_t[:, c : c + 1]
-                dwb.append(jnp.dot(
-                    mi_t, dya, preferred_element_type=jnp.float32))
+                if self.dw_dotgen:
+                    dwb.append(jax.lax.dot_general(
+                        ms[i], dya, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                else:
+                    dwb.append(jnp.dot(
+                        mi_t, dya, preferred_element_type=jnp.float32))
                 t = jnp.dot(dya, wf[c * c1 : (c + 1) * c1].T,
                             preferred_element_type=jnp.float32)
                 acc = t if acc is None else acc + t

@@ -212,3 +212,38 @@ def test_radius_cell_segments_match_full():
                                      num_segments=3)
     assert (np.array(full.senders) == np.array(seg.senders)).all()
     assert (np.array(full.mask) == np.array(seg.mask)).all()
+
+
+def test_cell_selection_approx2_recall():
+    """approx2 (celltab + recentered-bf16 d2 + approx_min_k): the edge set
+    must cover >=99% of the exact builder's edges on a uniform cloud, and
+    every emitted edge must satisfy the radius predicate (no false
+    positives beyond bf16 rounding at the cutoff)."""
+    import numpy as np
+
+    from scalable_e3_gnn_tpu.graph.octree import build_octree
+    from scalable_e3_gnn_tpu.graph.radius import (
+        radius_graph_cell, suggest_cell_capacity)
+
+    lo, hi = (0.0,) * 3, (1.0,) * 3
+    rng = np.random.default_rng(11)
+    n, k, r = 20_000, 12, 0.04
+    pts = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    tree = build_octree(pts, lo, hi, num_levels=6)
+    cap = suggest_cell_capacity(tree, r, lo, hi)
+    exact = radius_graph_cell(tree, r, lo, hi, max_neighbors=k,
+                              cell_capacity=cap)
+    ap2 = radius_graph_cell(tree, r, lo, hi, max_neighbors=k,
+                            cell_capacity=cap, selection="approx2",
+                            approx_recall=0.85)
+    se, me = np.array(exact.senders), np.array(exact.mask)
+    sa, ma = np.array(ap2.senders), np.array(ap2.mask)
+    recv = np.repeat(np.arange(n), k)
+    E = set(zip(recv[me].tolist(), se[me].tolist()))
+    A = set(zip(recv[ma].tolist(), sa[ma].tolist()))
+    recall = len(E & A) / max(len(E), 1)
+    assert recall >= 0.99, recall
+    # all approx2 edges respect the radius (allow bf16 slack at the cutoff)
+    p = np.array(tree.points)
+    d = np.linalg.norm(p[recv[ma]] - p[sa[ma]], axis=-1)
+    assert (d <= r * 1.02).all(), d.max()

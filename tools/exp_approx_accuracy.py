@@ -89,15 +89,19 @@ def main():
     target = jnp.asarray(rng.standard_normal((args.points, 3)), jnp.float32)
 
     ne_ex, ex = run("sort", pts, feats, target, args.steps)
-    ne_ap, apx = run("approx", pts, feats, target, args.steps)
-    rel = [abs(a - b) / max(abs(b), 1e-9) for a, b in zip(apx, ex)]
-    print(json.dumps({
-        "edges_exact": ne_ex, "edges_approx": ne_ap,
-        "edge_recall": round(ne_ap / ne_ex, 6),
-        "final_loss_exact": ex[-1], "final_loss_approx": apx[-1],
-        "max_rel_loss_diff": max(rel), "final_rel_loss_diff": rel[-1],
-        "steps": args.steps,
-    }))
+    out = {"edges_exact": ne_ex, "final_loss_exact": ex[-1],
+           "steps": args.steps}
+    for sel in ("approx", "approx2"):
+        ne_ap, apx = run(sel, pts, feats, target, args.steps)
+        rel = [abs(a - b) / max(abs(b), 1e-9) for a, b in zip(apx, ex)]
+        out.update({
+            f"edges_{sel}": ne_ap,
+            f"edge_recall_{sel}": round(ne_ap / ne_ex, 6),
+            f"final_loss_{sel}": apx[-1],
+            f"max_rel_loss_diff_{sel}": max(rel),
+            f"final_rel_loss_diff_{sel}": rel[-1],
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -62,7 +62,9 @@ def main():
     tgt = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
 
     for spec in specs:
-        t_s, b_s = (int(x) for x in spec.split(":"))
+        parts = spec.split(":")
+        t_s, b_s = int(parts[0]), int(parts[1])
+        dg = len(parts) > 2 and parts[2] == "dg"
         m = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"),
                   Irreps("1x1o"), lmax_attr=2, num_layers=4, remat=True,
                   layout="cm", use_pallas=True)
@@ -72,7 +74,7 @@ def main():
         for lay in m.layers:
             lay._generic_kernels[(k, n)] = FusedMessageGeneric(
                 lay.message_layers, k, tile=t_s, bwd_tile=b_s,
-                residual_bwd=True, colpad=True)
+                residual_bwd=True, colpad=True, dw_dotgen=dg)
         p = m.init(jax.random.key(0))
         a = jax.jit(m.compute_attributes_dense)(g)
         gb = g._replace(nodes=g.nodes.astype(bf))
@@ -86,7 +88,8 @@ def main():
         step = make_train_step(loss, optax.adam(1e-3), donate=False)
         st = make_train_state(p, optax.adam(1e-3))
         dt = _timed_step(step, st, (gb, a, tgt))
-        print(f"tile={t_s} bwd_tile={b_s}: step {dt*1e3:.1f} ms", flush=True)
+        print(f"tile={t_s} bwd_tile={b_s}{' dotgen' if dg else ''}: "
+              f"step {dt*1e3:.1f} ms", flush=True)
         del st, step, m, p, a, gb
 
 
