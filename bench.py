@@ -124,6 +124,21 @@ def main():
     )
     jax.block_until_ready(e10a.senders)
     radius10m_approx_s = time.time() - t0
+
+    # 10M partition timing (VERDICT r4 next #5): host-side Morton-range
+    # dense partition at P=16 with the native batched rev tables.  The
+    # device->host pull of senders/mask is NOT in the timed region (it is
+    # tunnel-bandwidth, not partitioner work).
+    from scalable_e3_gnn_tpu.parallel.partition import partition_graph_dense
+
+    s10 = np.asarray(e10a.senders).reshape(10_000_000, 16)
+    m10 = np.asarray(e10a.mask).reshape(10_000_000, 16)
+    pts10_np = np.asarray(tree10.points)
+    f10 = np.zeros((10_000_000, 5), np.float32)
+    t0 = time.time()
+    part10 = partition_graph_dense(pts10_np, f10, s10, m10, num_parts=16)
+    partition10m_s = time.time() - t0
+    del part10, s10, m10, pts10_np, f10
     del tree10, e10, e10a
 
     cap = suggest_cell_capacity(tree, RADIUS, LO, HI)
@@ -320,6 +335,7 @@ def main():
                     "config4_1m_edges_per_s": round(n_edges4 / c4_s, 1),
                     "radius_graph_s_10m": round(radius10m_s, 2),
                     "radius_graph_s_10m_approx": round(radius10m_approx_s, 2),
+                    "partition_s_10m_p16": round(partition10m_s, 2),
                     # roofline fractions (r4 weak #8): probes + analytic floors
                     "ew_ceiling_gbps": round(ew_gbps, 1),
                     "ew_frac_of_hbm": round(ew_gbps / HBM_PEAK_GBPS, 3),
