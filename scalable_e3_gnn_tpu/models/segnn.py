@@ -695,8 +695,9 @@ class SEGNNLayer:
         multi-GB per layer and tipped config-4 out of HBM when a fixed
         96 stopped dividing it).  Among exact divisors, larger is mildly
         better (r3 sweep, tools/exp_lmax2_tiles.py: 96/96 885 ms vs
-        64/64 895 ms at 250k); fall back to 64 + padding."""
-        for t in range(128, 47, -16):
+        64/64 895 ms at 250k; r5 sweep: 200/200 701.6 vs 80/80 707.5 ms —
+        tools/exp_lmax2_sweep.py); fall back to 64 + padding."""
+        for t in range(224, 47, -8):
             if n % t == 0:
                 return t
         return 64

@@ -42,7 +42,7 @@ def _graph(n, seed=0, k=8):
                                             symmetrize=True)
 
 
-@pytest.mark.parametrize("n", [128, 120])  # 120: tile=8 fallback path
+@pytest.mark.parametrize("n", [128, 116])  # 116: no divisor -> pad path
 def test_generic_forward_matches(n):
     m_ref, m_pal = _models()
     g = _graph(n)
