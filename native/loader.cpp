@@ -311,6 +311,41 @@ void e3_rev_fill_multi(const int32_t* tgt, const uint8_t* mask, int64_t P,
   for (auto& th : ts) th.join();
 }
 
-int e3_loader_version() { return 3; }
+// Zero-page variant: ``rev`` arrives ZERO-INITIALIZED (numpy calloc — the
+// kernel maps copy-on-write zero pages, so untouched sentinel regions cost
+// nothing), entries are stored as slot+1 with 0 = empty.  This removes the
+// full-table sentinel fill entirely: writes collapse from ~8 GB (prefill +
+// first-touch) to ~40 MB of real entries at the 10M/P=16 partition.
+void e3_rev_scatter1(const int32_t* tgt, const uint8_t* mask, int64_t P,
+                     int64_t slots_per, int64_t n_targets, int32_t q,
+                     int32_t* rev /*[P, n_targets, q], zeroed*/) {
+  int nt = num_threads();
+  std::atomic<int64_t> next{0};
+  std::vector<std::thread> ts;
+  for (int t = 0; t < std::min<int64_t>(nt, P); ++t) {
+    ts.emplace_back([&] {
+      std::vector<int32_t> hist;
+      for (;;) {
+        int64_t p = next.fetch_add(1);
+        if (p >= P) return;
+        hist.assign(n_targets, 0);
+        const int32_t* tp = tgt + p * slots_per;
+        const uint8_t* mp = mask ? mask + p * slots_per : nullptr;
+        int32_t* rp = rev + p * n_targets * q;
+        for (int64_t i = 0; i < slots_per; ++i) {
+          if (mp && !mp[i]) continue;
+          int64_t v = tp[i];
+          if (v >= 0 && v < n_targets) {
+            int32_t col = hist[v]++;
+            if (col < q) rp[v * q + col] = static_cast<int32_t>(i) + 1;
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+int e3_loader_version() { return 4; }
 
 }  // extern "C"

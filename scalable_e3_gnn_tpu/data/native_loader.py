@@ -77,7 +77,7 @@ def _get() -> Optional[ctypes.CDLL]:
                 ]
                 i32p = ctypes.POINTER(ctypes.c_int32)
                 u8p = ctypes.POINTER(ctypes.c_uint8)
-                if not hasattr(_lib, "e3_rev_fill_multi"):
+                if not hasattr(_lib, "e3_rev_scatter1"):
                     _lib = _build()  # stale library from an older revision
                 if _lib is not None:
                     _lib.e3_rev_count.argtypes = [
@@ -90,6 +90,10 @@ def _get() -> Optional[ctypes.CDLL]:
                     _lib.e3_rev_fill_multi.argtypes = [
                         i32p, u8p, ctypes.c_int64, ctypes.c_int64,
                         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p,
+                    ]
+                    _lib.e3_rev_scatter1.argtypes = [
+                        i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int64, ctypes.c_int32, i32p,
                     ]
         return _lib
 
@@ -169,19 +173,20 @@ def rev_table_multi(
     tgt: np.ndarray,  # [P, S] int32 flat targets per partition
     mask: Optional[np.ndarray],  # [P, S] bool, or None
     n_targets: int,
-    sentinel: int,
     q: int,
 ) -> Optional[np.ndarray]:
-    """Batched [P, n_targets, q] rev tables in ONE native call.
+    """Batched [P, n_targets, q] rev tables in ONE native call, in the
+    **+1 encoding**: entries are ``slot + 1`` and 0 means empty
+    (``ops.gather_scatter.take_dense_rev``'s contract).
 
-    Sentinel fill streams over the whole output (std::fill — the
-    per-target scalar tails of ``e3_rev_fill`` dominated the 10M dense
-    partition at 2.4 GB of mostly-sentinel rev_ext), and partitions
-    scatter concurrently (one thread + one cursor histogram per
-    partition).  10M/P=16 rev tables: 9.9 s -> ~1.5 s host
-    (tools/exp_partition_native.py).  None when the library is absent."""
+    The output is ``np.zeros`` (calloc — lazily-mapped zero pages), so
+    empty/sentinel regions are never written at all; the scatter touches
+    only the ~S real entries.  This removed the full-table sentinel fill
+    that dominated the 10M dense partition (rev_ext: a 2.4 GB table for
+    ~2k real entries).  Partitions scatter concurrently (one thread + one
+    cursor histogram per partition).  None when the library is absent."""
     lib = _get()
-    if lib is None or not hasattr(lib, "e3_rev_fill_multi"):
+    if lib is None or not hasattr(lib, "e3_rev_scatter1"):
         return None
     P, S = tgt.shape
     tgt = np.ascontiguousarray(tgt, np.int32)
@@ -189,11 +194,11 @@ def rev_table_multi(
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     mp = mk.ctypes.data_as(u8p) if mk is not None else ctypes.cast(None, u8p)
-    rev = np.empty((P, n_targets, q), np.int32)
-    lib.e3_rev_fill_multi(
+    rev = np.zeros((P, n_targets, q), np.int32)
+    lib.e3_rev_scatter1(
         tgt.ctypes.data_as(i32p), mp, ctypes.c_int64(P), ctypes.c_int64(S),
         ctypes.c_int64(n_targets), ctypes.c_int32(q),
-        ctypes.c_int32(sentinel), rev.ctypes.data_as(i32p),
+        rev.ctypes.data_as(i32p),
     )
     return rev
 

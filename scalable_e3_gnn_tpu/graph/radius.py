@@ -285,9 +285,36 @@ def _resolve_level(tree, radius, lo, hi, level):
     return min(level, tree.num_levels - 1)
 
 
+def _cell_point_table(tree, radius, lo, hi, cell_capacity, level,
+                      pad_cells):
+    """Cap-padded per-cell coordinate table [capc + pad_cells, cap, 3].
+
+    The stencil candidate fetch becomes 27 whole-cell row reads per cell
+    (cap x 12-byte rows) instead of 27*cap random 12-byte point rows —
+    candidate gather 6.85 s -> 2.75 s at 10M/cap=80
+    (tools/exp_radius_stages.py).  Invalid slots hold a 1e9 sentinel
+    coordinate (d² huge; selection also masks them explicitly).  Built ONCE
+    per build — the segmented 10M builder passes it to every segment call
+    (rebuilding it per segment cost ~7 s of the first approx2 bench)."""
+    n = tree.num_points
+    cap = cell_capacity
+    level = _resolve_level(tree, radius, lo, hi, level)
+    cell_start = tree.cell_start[level]
+    cell_count = tree.cell_count[level]
+    capc = tree.cell_code[level].shape[0]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    tab_idx = jnp.clip(cell_start[:, None] + slot[None, :], 0, n - 1)
+    tab_valid = slot[None, :] < cell_count[:, None]
+    celltab = jnp.take(tree.points, tab_idx.reshape(-1), axis=0).reshape(
+        capc, cap, 3)
+    celltab = jnp.where(tab_valid[..., None], celltab, jnp.float32(1e9))
+    return jnp.concatenate(
+        [celltab, jnp.full((pad_cells, cap, 3), 1e9, jnp.float32)])
+
+
 def _cell_major_slots(
     tree, radius, lo, hi, max_neighbors, cell_capacity, level, block_size,
-    cell_range=None, selection="sort", approx_recall=0.95,
+    cell_range=None, selection="sort", approx_recall=0.95, celltab=None,
 ):
     """Nearest-K selection for a range of whole CELLS, in cell-slot space.
 
@@ -317,19 +344,16 @@ def _cell_major_slots(
     count_p = jnp.concatenate([cell_count, jnp.zeros((pad_c,), jnp.int32)])
     slot = jnp.arange(cap, dtype=jnp.int32)
 
-    # cap-padded per-cell coordinate table: the stencil candidate fetch
-    # becomes 27 whole-cell row reads per cell (cap x 12-byte rows) instead
-    # of 27*cap random 12-byte point rows — candidate gather 6.85 s ->
-    # 2.75 s at 10M/cap=80 (tools/exp_radius_stages.py).  Invalid slots
-    # hold a 1e9 sentinel coordinate (d² huge; selection also masks them
-    # explicitly, so the sentinel is belt-and-braces).
-    tab_idx = jnp.clip(cell_start[:, None] + slot[None, :], 0, n - 1)
-    tab_valid = slot[None, :] < cell_count[:, None]
-    celltab = jnp.take(pts, tab_idx.reshape(-1), axis=0).reshape(
-        capc, cap, 3)
-    celltab = jnp.where(tab_valid[..., None], celltab, jnp.float32(1e9))
-    celltab = jnp.concatenate(
-        [celltab, jnp.full((cb, cap, 3), 1e9, jnp.float32)])
+    # whole-cell candidate reads via _cell_point_table for big clouds;
+    # small clouds keep the direct per-candidate gather (the table build
+    # cost the 100k exact build ~45 ms — r5 full-bench A/B) unless approx2
+    # (whose bf16 path is written against the table) or an explicit table.
+    use_tab = celltab is not None or selection == "approx2" or n >= 500_000
+    if use_tab and celltab is None:
+        celltab = _cell_point_table(tree, radius, lo, hi, cap, level, cb)
+    if celltab is not None:
+        assert celltab.shape == (capc + cb, cap, 3), (
+            celltab.shape, (capc + cb, cap, 3))
 
     def one_block(b):
         c0 = cells0 + b * cb
@@ -344,13 +368,18 @@ def _cell_major_slots(
         cand = jnp.where(cvalid, cand, 0)
         candf = cand.reshape(cb, 27 * cap)
         cvalidf = cvalid.reshape(cb, 27 * cap)
-        cpts = jnp.take(celltab, npos.reshape(-1), axis=0).reshape(
-            cb, 27 * cap, 3)  # whole-cell rows (celltab above)
         rows_idx = cstart[:, None] + slot  # [cb, cap]
         rvalid = slot < ccount[:, None]
-        rpts = jax.lax.dynamic_slice(
-            celltab, (c0, 0, 0), (cb, cap, 3))  # receivers = own cells
-        rpts = jnp.where(rvalid[..., None], rpts, 0.0)
+        if use_tab:
+            cpts = jnp.take(celltab, npos.reshape(-1), axis=0).reshape(
+                cb, 27 * cap, 3)  # whole-cell rows (_cell_point_table)
+            rpts = jax.lax.dynamic_slice(
+                celltab, (c0, 0, 0), (cb, cap, 3))  # receivers = own cells
+            rpts = jnp.where(rvalid[..., None], rpts, 0.0)
+        else:
+            cpts = jnp.take(pts, candf, axis=0)  # [cb, 27*cap, 3]
+            rows_idx_c = jnp.where(rvalid, rows_idx, 0)
+            rpts = jnp.take(pts, rows_idx_c, axis=0)  # [cb, cap, 3]
         r_eff = radius
         if selection == "approx2":
             # recentered bf16 distances: coordinates relative to the
@@ -470,14 +499,20 @@ def radius_graph_cell_segments(
     # segment size in cells, rounded to whole blocks
     seg = -(-capc // num_segments)
     seg = -(-seg // cb) * cb
+    # the per-cell coordinate table is built ONCE and passed to every
+    # segment program (rebuilding it per segment cost ~7 s of 12.7 s at
+    # the first approx2 10M bench)
+    tab = jax.jit(
+        lambda t: _cell_point_table(t, radius, lo, hi, cap, lv, cb)
+    )(tree)
     fn = jax.jit(
-        lambda t, c0: _cell_major_slots(
+        lambda t, c0, tab_: _cell_major_slots(
             t, radius, lo, hi, max_neighbors, cap, lv, block_size,
             cell_range=(c0, seg), selection=selection,
-            approx_recall=approx_recall,
+            approx_recall=approx_recall, celltab=tab_,
         )
     )
-    parts = [fn(tree, jnp.int32(c0)) for c0 in range(0, capc, seg)]
+    parts = [fn(tree, jnp.int32(c0), tab) for c0 in range(0, capc, seg)]
     senders_cs = jnp.concatenate([p[0] for p in parts])
     mask_cs = jnp.concatenate([p[1] for p in parts])
     return _compact_cell_slots(

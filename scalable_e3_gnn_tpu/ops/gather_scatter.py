@@ -234,18 +234,20 @@ take_dense_symmetric_km.defvjp(_tds_km_fwd, _tds_km_bwd)
 def take_dense_rev(
     h: jnp.ndarray,  # [M, F]
     senders: jnp.ndarray,  # [R, K] rows into h; pad >= M (reads 0)
-    rev: jnp.ndarray,  # [M, Q] flat slots (into R*K) where row m is the sender
+    rev: jnp.ndarray,  # [M, Q] flat slots+1 (into R*K) where m is sender; 0=empty
 ) -> jnp.ndarray:
     """h[senders] whose VJP is a gather over a precomputed transpose table.
 
     The general form of ``take_dense_symmetric``: ``rev[m]`` lists the flat
-    edge-slot positions where node m appears as the sender (pad: >= R*K),
-    so the sender gradient is a dense [M, Q] gather + sum instead of the
-    scatter-add XLA emits for a gather transpose.  Unlike the symmetric
-    trick it needs no reverse edges in the same slot space — it is what
-    makes the *partitioned* fused path scatter-free, where a receiver's
-    reverse edge may live on another device (parallel/partition.py
-    ``rev_int``/``rev_ext``).  Padding clamps (consumers mask; see
+    edge-slot positions where node m appears as the sender, **stored as
+    slot + 1 with 0 = empty** — the zero-based encoding lets the host
+    partitioner build the (mostly-empty) tables into calloc zero pages
+    without a multi-GB sentinel fill (data/native_loader.rev_table_multi,
+    r5).  The sender gradient is a dense [M, Q] gather + sum instead of
+    the scatter-add XLA emits for a gather transpose; it is what makes the
+    *partitioned* fused path scatter-free, where a receiver's reverse edge
+    may live on another device (parallel/partition.py ``rev_int``/
+    ``rev_ext``).  Padding clamps (consumers mask; see
     ``take_dense_symmetric`` for why fill mode costs a materialized
     edge-sized select on TPU).
     """
@@ -264,8 +266,8 @@ def _tdr_bwd(res, g):
     m, q = rev.shape
     if q <= 16:
         rv = rev.reshape(-1)
-        valid = (rv < r * k).astype(g.dtype)
-        picked = jnp.take(gf, rv, axis=0, mode="clip")
+        valid = (rv > 0).astype(g.dtype)  # +1 encoding: 0 = empty
+        picked = jnp.take(gf, rv - 1, axis=0, mode="clip")
         d_h = (picked * valid[:, None]).reshape(m, q, f).sum(axis=1)
     else:
         # q-blocked accumulation: the one-shot gather materializes
@@ -275,13 +277,13 @@ def _tdr_bwd(res, g):
         B = 16
         qp = -(-q // B) * B
         revp = jnp.pad(rev, ((0, 0), (0, qp - q)),
-                       constant_values=r * k)  # pad slots clip + mask to 0
+                       constant_values=0)  # 0 = empty in the +1 encoding
 
         def body(i, acc):
             cols = jax.lax.dynamic_slice_in_dim(revp, i * B, B,
                                                 axis=1).reshape(-1)
-            valid = (cols < r * k).astype(g.dtype)
-            p = jnp.take(gf, cols, axis=0, mode="clip")
+            valid = (cols > 0).astype(g.dtype)
+            p = jnp.take(gf, cols - 1, axis=0, mode="clip")
             return acc + (p * valid[:, None]).reshape(m, B, f).sum(axis=1)
 
         d_h = jax.lax.fori_loop(

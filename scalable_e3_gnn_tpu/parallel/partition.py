@@ -103,8 +103,8 @@ class DensePartitionedGraph(NamedTuple):
     global_ids: np.ndarray  # [P, NI+NB] input-order node id; pad -1
     # sender-transpose tables (scatter-free gradients, ops.take_dense_rev):
     # flat slot positions where each row appears as a sender
-    rev_int: np.ndarray  # [P, NI+NB, Qi] into interior slots; pad NI*K
-    rev_ext: np.ndarray  # [P, NI+NB+H, Qb] into boundary slots; pad NB*K
+    rev_int: np.ndarray  # [P, NI+NB, Qi] interior slots+1; 0 = empty
+    rev_ext: np.ndarray  # [P, NI+NB+H, Qb] boundary slots+1; 0 = empty
 
     @property
     def n_per_part(self) -> int:
@@ -137,13 +137,18 @@ def partition_graph_dense(
     senders = np.asarray(senders)
     edge_mask = np.asarray(edge_mask, bool)
 
+    # global precomputes (r5: the per-partition owner/where/fancy-index
+    # passes were ~4 s of the 10M/P=16 partition — one vectorized pass
+    # each over [N, K] replaces 3 passes per partition):
+    # SD0: mask-gated senders (padding slots may carry out-of-range values)
+    SD0 = np.where(edge_mask, senders, 0)
+    OWNER = np.minimum(SD0 // npp0, num_parts - 1)
+
     halos, int_rows, bnd_rows = [], [], []
     for p in range(num_parts):
         lo, hi = p * npp0, min(n, (p + 1) * npp0)
         sd, mk = senders[lo:hi], edge_mask[lo:hi]
-        # gate by the mask BEFORE computing owners: padding slots may carry
-        # out-of-range sender values
-        remote = mk & (owner(np.where(mk, sd, 0)) != p)
+        remote = mk & (OWNER[lo:hi] != p)
         halos.append(np.unique(sd[remote]))
         isb = remote.any(axis=1)
         int_rows.append(np.nonzero(~isb)[0] + lo)
@@ -177,6 +182,15 @@ def partition_graph_dense(
     for p, exp in enumerate(exports):
         pool_pos_of[exp] = p * H + np.arange(len(exp))
 
+    # global local-index map: LOCAL_OF[g] = row of g within its own
+    # partition's [interior | boundary] order; valid for every real node
+    LOCAL_OF = np.zeros(n, np.int32)
+    for p in range(num_parts):
+        LOCAL_OF[int_rows[p]] = np.arange(len(int_rows[p]), dtype=np.int32)
+        LOCAL_OF[bnd_rows[p]] = NI + np.arange(len(bnd_rows[p]),
+                                               dtype=np.int32)
+    SLOC = LOCAL_OF[SD0]  # [N, K] local index of each (masked) sender
+
     nodes = np.zeros((num_parts, npp, f), features.dtype)
     pos_ext = np.zeros((num_parts, npp + H, 3), positions.dtype)
     n_mask = np.zeros((num_parts, npp), bool)
@@ -192,10 +206,6 @@ def partition_graph_dense(
         lo = p * npp0
         gi, gb, hp = int_rows[p], bnd_rows[p], halos[p]
         cnt_i, cnt_b = len(gi), len(gb)
-        # new local order: interior rows first, boundary rows after NI
-        loc_of = np.full(npp0, npp, np.int64)  # index by (g - lo)
-        loc_of[gi - lo] = np.arange(cnt_i)
-        loc_of[gb - lo] = NI + np.arange(cnt_b)
 
         nodes[p, :cnt_i] = features[gi]
         nodes[p, NI : NI + cnt_b] = features[gb]
@@ -209,13 +219,13 @@ def partition_graph_dense(
 
         halo_map[p, : len(hp)] = pool_pos_of[hp]
         exp = exports[p]
-        boundary_idx[p, : len(exp)] = loc_of[exp - lo]
+        boundary_idx[p, : len(exp)] = LOCAL_OF[exp]
 
         def remap(rows, pad_idx, allow_remote):
             sd, mk = senders[rows], edge_mask[rows]
-            local = owner(np.where(mk, sd, lo)) == p
-            s_loc = loc_of[np.clip(sd - lo, 0, npp0 - 1)]
+            s_loc = SLOC[rows]
             if allow_remote:
+                local = OWNER[rows] == p
                 slot = (
                     np.searchsorted(hp, sd)
                     if len(hp)
@@ -237,8 +247,8 @@ def partition_graph_dense(
     # rev_table — the numpy argsort+repeat construction was ~33 s of the
     # 40 s 10M/152M-edge partition, tools/exp_partition_native.py); numpy
     # fallback below keeps the package dependency-free.
-    def rev_native(s_blk, m_blk, n_targets, sentinel):
-        from ..data.native_loader import (available, rev_counts, rev_table,
+    def rev_native(s_blk, m_blk, n_targets):
+        from ..data.native_loader import (available, rev_counts,
                                           rev_table_multi)
 
         if not available():
@@ -251,13 +261,9 @@ def partition_graph_dense(
         if any(c is None for c in counts):
             return None
         q = max(max((int(c.max()) for c in counts), default=0), 1)
-        rev = rev_table_multi(tgt2, mk2, n_targets, sentinel, q=q)
-        if rev is not None:
-            return rev
-        rev = np.empty((num_parts, n_targets, q), np.int32)
-        for p in range(num_parts):
-            rev_table(tgt2[p], mk2[p], n_targets, sentinel, q=q, out=rev[p])
-        return rev
+        # +1 encoding (0 = empty) into calloc zero pages — see
+        # take_dense_rev / rev_table_multi
+        return rev_table_multi(tgt2, mk2, n_targets, q=q)
 
     def rev_lists(s_blk, m_blk, n_targets):
         out = []
@@ -271,26 +277,27 @@ def partition_graph_dense(
             out.append((pos, starts, ends))
         return out
 
-    def rev_fill(lists, n_targets, sentinel):
+    def rev_fill(lists, n_targets):
         q = max(
             (int((e - s).max()) if len(e) else 0 for _, s, e in lists),
             default=0,
         )
         q = max(q, 1)
-        rev = np.full((num_parts, n_targets, q), sentinel, np.int32)
+        # +1 encoding, 0 = empty (matches rev_table_multi / take_dense_rev)
+        rev = np.zeros((num_parts, n_targets, q), np.int32)
         for p, (pos, starts, ends) in enumerate(lists):
             cnt = ends - starts
             rows = np.repeat(np.arange(n_targets), cnt)
             within = np.arange(len(pos)) - np.repeat(starts, cnt)
-            rev[p, rows, within] = pos.astype(np.int32)
+            rev[p, rows, within] = pos.astype(np.int32) + 1
         return rev
 
-    rev_int = rev_native(s_int, m_int, npp, NI * k)
+    rev_int = rev_native(s_int, m_int, npp)
     if rev_int is None:
-        rev_int = rev_fill(rev_lists(s_int, m_int, npp), npp, NI * k)
-    rev_ext = rev_native(s_bnd, m_bnd, npp + H, NB * k)
+        rev_int = rev_fill(rev_lists(s_int, m_int, npp), npp)
+    rev_ext = rev_native(s_bnd, m_bnd, npp + H)
     if rev_ext is None:
-        rev_ext = rev_fill(rev_lists(s_bnd, m_bnd, npp + H), npp + H, NB * k)
+        rev_ext = rev_fill(rev_lists(s_bnd, m_bnd, npp + H), npp + H)
 
     return DensePartitionedGraph(
         rev_int=rev_int,

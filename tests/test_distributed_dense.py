@@ -220,10 +220,8 @@ def test_dense_dp_times_graph_mesh():
         gs_ts.append((g, tgt))
     # rev tables must share Q across the dp stack: re-pad to the max
     def pad_rev(a, q):
-        out = np.full(a.shape[:-1] + (q,), 0, a.dtype)
-        # sentinel differs per partition config but values >= R*K all read 0;
-        # use the max int to stay out of range
-        out[...] = np.iinfo(np.int32).max
+        # +1 encoding: 0 = empty, so zero-padding the extra columns is exact
+        out = np.zeros(a.shape[:-1] + (q,), a.dtype)
         out[..., : a.shape[-1]] = a
         return out
 

@@ -87,12 +87,12 @@ def test_take_dense_rev_qblocked_grad():
     m, r, k, f, q = 40, 30, 4, 6, 22
     h = jnp.asarray(rng.standard_normal((m, f)), jnp.float32)
     senders = jnp.asarray(rng.integers(0, m + 3, (r, k)), jnp.int32)
-    # build a correct rev table: positions where each row is the sender
+    # build a correct rev table (+1 encoding: slot+1, 0 = empty)
     flat = np.array(senders).reshape(-1)
-    rev = np.full((m, q), r * k, np.int32)
+    rev = np.zeros((m, q), np.int32)
     for row in range(m):
         pos = np.nonzero(flat == row)[0][:q]
-        rev[row, : len(pos)] = pos
+        rev[row, : len(pos)] = pos + 1
     rev = jnp.asarray(rev)
 
     def loss(h_):

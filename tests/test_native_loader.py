@@ -112,8 +112,8 @@ def test_partition_dense_native_matches_numpy_rev(monkeypatch):
 
 
 def test_rev_table_multi_matches_per_partition():
-    """Batched e3_rev_fill_multi == per-partition rev_table (same q), with
-    rows in ascending-slot order and sentinel padding."""
+    """Batched e3_rev_scatter1 (+1 encoding, 0 = empty) == per-partition
+    rev_table (sentinel encoding) after translating both to slot sets."""
     from scalable_e3_gnn_tpu.data.native_loader import (
         available, rev_counts, rev_table, rev_table_multi)
 
@@ -126,10 +126,11 @@ def test_rev_table_multi_matches_per_partition():
     mask = (rng.random((P, R * K)) < 0.9).astype(np.uint8)
     q = max(int(rev_counts(tgt[p], mask[p], nt).max()) for p in range(P))
     sent = R * K
-    multi = rev_table_multi(tgt, mask, nt, sent, q=q)
+    multi = rev_table_multi(tgt, mask, nt, q=q)
     assert multi is not None and multi.shape == (P, nt, q)
     for p in range(P):
         single = rev_table(tgt[p], mask[p], nt, sent, q=q)
-        # row contents are order-unspecified sets; compare sorted
-        np.testing.assert_array_equal(np.sort(multi[p], axis=1),
-                                      np.sort(single, axis=1))
+        for row in range(nt):
+            got = sorted(v - 1 for v in multi[p, row] if v > 0)
+            want = sorted(v for v in single[row] if v < sent)
+            assert got == want, (p, row)
