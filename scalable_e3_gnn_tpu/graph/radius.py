@@ -16,6 +16,7 @@ receiver-sorted COO with per-edge validity mask — exactly the layout
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -501,10 +502,29 @@ def radius_graph_cell_segments(
     seg = -(-seg // cb) * cb
     # the per-cell coordinate table is built ONCE and passed to every
     # segment program (rebuilding it per segment cost ~7 s of 12.7 s at
-    # the first approx2 10M bench)
-    tab = jax.jit(
+    # the first approx2 10M bench); the jitted helpers are cached by the
+    # static config — a fresh jax.jit(lambda ...) per call makes every
+    # invocation an in-memory-jit-cache miss (persistent-cache deserialize
+    # per call — several extra seconds on the tunneled chip)
+    tabf, fn = _segment_fns(radius, lo, hi, max_neighbors, cap, lv,
+                            block_size, seg, selection, approx_recall)
+    tab = tabf(tree)
+    parts = [fn(tree, jnp.int32(c0), tab) for c0 in range(0, capc, seg)]
+    senders_cs = jnp.concatenate([p[0] for p in parts])
+    mask_cs = jnp.concatenate([p[1] for p in parts])
+    return _compact_cell_slots(
+        tree, radius, lo, hi, max_neighbors, cap, lv, senders_cs, mask_cs
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _segment_fns(radius, lo, hi, max_neighbors, cap, lv, block_size, seg,
+                 selection, approx_recall):
+    """Jitted (table-build, segment) functions per static segment config."""
+    cb = max(1, block_size // cap)
+    tabf = jax.jit(
         lambda t: _cell_point_table(t, radius, lo, hi, cap, lv, cb)
-    )(tree)
+    )
     fn = jax.jit(
         lambda t, c0, tab_: _cell_major_slots(
             t, radius, lo, hi, max_neighbors, cap, lv, block_size,
@@ -512,12 +532,7 @@ def radius_graph_cell_segments(
             approx_recall=approx_recall, celltab=tab_,
         )
     )
-    parts = [fn(tree, jnp.int32(c0), tab) for c0 in range(0, capc, seg)]
-    senders_cs = jnp.concatenate([p[0] for p in parts])
-    mask_cs = jnp.concatenate([p[1] for p in parts])
-    return _compact_cell_slots(
-        tree, radius, lo, hi, max_neighbors, cap, lv, senders_cs, mask_cs
-    )
+    return tabf, fn
 
 
 def _radius_graph_row_major(
