@@ -346,6 +346,48 @@ void e3_rev_scatter1(const int32_t* tgt, const uint8_t* mask, int64_t P,
   for (auto& th : ts) th.join();
 }
 
-int e3_loader_version() { return 4; }
+// One threaded pass producing everything the dense partitioner needs per
+// sender slot (r5: the equivalent numpy pipeline — SD0 where, OWNER
+// minimum-div, SLOC fancy-gather, per-partition remote masks — was ~5 s of
+// the real 10M/P=16 partition on this 2-core host):
+//   owner[i]  = mask ? min(senders[i]/npp0, pmax) : -1
+//   remote[i] = mask && owner != row_owner(row)
+//   row_remote[row] |= remote over the row's K slots
+void e3_sender_pass(const int32_t* senders, const uint8_t* mask,
+                    int64_t n, int64_t k, int64_t npp0, int32_t pmax,
+                    int8_t* owner, uint8_t* remote, uint8_t* row_remote) {
+  parallel_for(n, [=](int64_t b, int64_t e) {
+    for (int64_t row = b; row < e; ++row) {
+      int32_t row_own =
+          static_cast<int32_t>(std::min<int64_t>(row / npp0, pmax));
+      uint8_t any = 0;
+      const int64_t base = row * k;
+      for (int64_t j = 0; j < k; ++j) {
+        int64_t i = base + j;
+        bool m = !mask || mask[i];
+        int32_t ow = m ? static_cast<int32_t>(std::min<int64_t>(
+                             senders[i] / npp0, pmax))
+                       : -1;
+        owner[i] = static_cast<int8_t>(ow);
+        uint8_t rm = m && ow != row_own;
+        remote[i] = rm;
+        any |= rm;
+      }
+      row_remote[row] = any;
+    }
+  });
+}
+
+// threaded masked int32 row gather: out[i] = table[mask ? idx[i] : 0]
+void e3_take_i32(const int32_t* table, const int32_t* idx,
+                 const uint8_t* mask, int64_t s, int32_t* out) {
+  parallel_for(s, [=](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      out[i] = table[(!mask || mask[i]) ? idx[i] : 0];
+    }
+  });
+}
+
+int e3_loader_version() { return 5; }
 
 }  // extern "C"

@@ -22,7 +22,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["available", "morton_encode_sort", "gather_rows", "load_points_bin",
-           "rev_counts", "rev_table", "rev_table_multi"]
+           "rev_counts", "rev_table", "rev_table_multi",
+           "sender_pass", "take_i32"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "loader.cpp")
 _LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "_native")
@@ -77,7 +78,7 @@ def _get() -> Optional[ctypes.CDLL]:
                 ]
                 i32p = ctypes.POINTER(ctypes.c_int32)
                 u8p = ctypes.POINTER(ctypes.c_uint8)
-                if not hasattr(_lib, "e3_rev_scatter1"):
+                if not hasattr(_lib, "e3_sender_pass"):
                     _lib = _build()  # stale library from an older revision
                 if _lib is not None:
                     _lib.e3_rev_count.argtypes = [
@@ -94,6 +95,14 @@ def _get() -> Optional[ctypes.CDLL]:
                     _lib.e3_rev_scatter1.argtypes = [
                         i32p, u8p, ctypes.c_int64, ctypes.c_int64,
                         ctypes.c_int64, ctypes.c_int32, i32p,
+                    ]
+                    i8p = ctypes.POINTER(ctypes.c_int8)
+                    _lib.e3_sender_pass.argtypes = [
+                        i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int64, ctypes.c_int32, i8p, u8p, u8p,
+                    ]
+                    _lib.e3_take_i32.argtypes = [
+                        i32p, i32p, u8p, ctypes.c_int64, i32p,
                     ]
         return _lib
 
@@ -201,6 +210,54 @@ def rev_table_multi(
         rev.ctypes.data_as(i32p),
     )
     return rev
+
+
+def sender_pass(senders, mask, npp0, num_parts):
+    """(owner int8 [N,K], remote u8 [N,K], row_remote u8 [N]) in ONE
+    threaded pass (None if the library is absent) — replaces the
+    partitioner's SD0/OWNER/remote numpy pipeline (~5 s at 10M/P=16)."""
+    lib = _get()
+    if lib is None or not hasattr(lib, "e3_sender_pass"):
+        return None
+    if num_parts > 127:  # owner is int8; -1 = masked
+        return None
+    n, k = senders.shape
+    senders = np.ascontiguousarray(senders, np.int32)
+    mk = np.ascontiguousarray(mask, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    owner = np.empty((n, k), np.int8)
+    remote = np.empty((n, k), np.uint8)
+    row_remote = np.empty((n,), np.uint8)
+    lib.e3_sender_pass(
+        senders.ctypes.data_as(i32p), mk.ctypes.data_as(u8p),
+        ctypes.c_int64(n), ctypes.c_int64(k), ctypes.c_int64(npp0),
+        ctypes.c_int32(num_parts - 1), owner.ctypes.data_as(i8p),
+        remote.ctypes.data_as(u8p), row_remote.ctypes.data_as(u8p),
+    )
+    return owner, remote.view(bool), row_remote.view(bool)
+
+
+def take_i32(table, idx, mask):
+    """Threaded masked int32 gather: table[mask ? idx : 0] (None if the
+    library is absent)."""
+    lib = _get()
+    if lib is None or not hasattr(lib, "e3_take_i32"):
+        return None
+    table = np.ascontiguousarray(table, np.int32)
+    shape = idx.shape
+    idx = np.ascontiguousarray(idx, np.int32).reshape(-1)
+    mk = np.ascontiguousarray(mask, np.uint8).reshape(-1)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = np.empty(idx.shape, np.int32)
+    lib.e3_take_i32(
+        table.ctypes.data_as(i32p), idx.ctypes.data_as(i32p),
+        mk.ctypes.data_as(u8p), ctypes.c_int64(idx.shape[0]),
+        out.ctypes.data_as(i32p),
+    )
+    return out.reshape(shape)
 
 
 def load_points_bin(path: str, dim: int = 3) -> np.ndarray:

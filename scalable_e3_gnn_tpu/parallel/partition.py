@@ -138,19 +138,30 @@ def partition_graph_dense(
     edge_mask = np.asarray(edge_mask, bool)
 
     # global precomputes (r5: the per-partition owner/where/fancy-index
-    # passes were ~4 s of the 10M/P=16 partition — one vectorized pass
-    # each over [N, K] replaces 3 passes per partition):
-    # SD0: mask-gated senders (padding slots may carry out-of-range values)
-    SD0 = np.where(edge_mask, senders, 0)
-    OWNER = np.minimum(SD0 // npp0, num_parts - 1)
+    # passes were ~5 s of the real 10M/P=16 partition).  Native single
+    # threaded pass when available (data/native_loader.sender_pass);
+    # vectorized-numpy fallback otherwise.
+    from ..data.native_loader import sender_pass, take_i32
+
+    sp = sender_pass(senders, edge_mask, npp0, num_parts)
+    if sp is not None:
+        OWNER, REMOTE, ROW_REMOTE = sp
+    else:
+        SD0 = np.where(edge_mask, senders, 0)
+        OWNER = np.minimum(SD0 // npp0, num_parts - 1)
+        OWNER = np.where(edge_mask, OWNER, -1).astype(np.int8)
+        row_own = np.minimum(
+            np.arange(n) // npp0, num_parts - 1)[:, None]
+        REMOTE = edge_mask & (OWNER != row_own)
+        ROW_REMOTE = REMOTE.any(axis=1)
 
     halos, int_rows, bnd_rows = [], [], []
     for p in range(num_parts):
         lo, hi = p * npp0, min(n, (p + 1) * npp0)
-        sd, mk = senders[lo:hi], edge_mask[lo:hi]
-        remote = mk & (OWNER[lo:hi] != p)
+        sd = senders[lo:hi]
+        remote = REMOTE[lo:hi]
         halos.append(np.unique(sd[remote]))
-        isb = remote.any(axis=1)
+        isb = ROW_REMOTE[lo:hi]
         int_rows.append(np.nonzero(~isb)[0] + lo)
         bnd_rows.append(np.nonzero(isb)[0] + lo)
 
@@ -189,7 +200,9 @@ def partition_graph_dense(
         LOCAL_OF[int_rows[p]] = np.arange(len(int_rows[p]), dtype=np.int32)
         LOCAL_OF[bnd_rows[p]] = NI + np.arange(len(bnd_rows[p]),
                                                dtype=np.int32)
-    SLOC = LOCAL_OF[SD0]  # [N, K] local index of each (masked) sender
+    SLOC = take_i32(LOCAL_OF, senders, edge_mask)
+    if SLOC is None:
+        SLOC = LOCAL_OF[np.where(edge_mask, senders, 0)]
 
     nodes = np.zeros((num_parts, npp, f), features.dtype)
     pos_ext = np.zeros((num_parts, npp + H, 3), positions.dtype)
@@ -225,7 +238,7 @@ def partition_graph_dense(
             sd, mk = senders[rows], edge_mask[rows]
             s_loc = SLOC[rows]
             if allow_remote:
-                local = OWNER[rows] == p
+                local = mk & (OWNER[rows] == p)
                 slot = (
                     np.searchsorted(hp, sd)
                     if len(hp)

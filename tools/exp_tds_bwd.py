@@ -90,3 +90,37 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main2():
+    """Locality probe: transpose dhs to node-major first, then gather with
+    the NODE-major rs (Morton-local) — vs the slot-major rs_km gather."""
+    n, k, f = 250_000, 16, 90
+    rng = np.random.default_rng(0)
+    # Morton-local reverse slots in NODE-major space: rs[t, kk] ~ near t*k
+    base_t = ((np.arange(n)[:, None] + rng.integers(-2000, 2000, (n, k))) % n)
+    rs = (base_t * k + rng.integers(0, k, (n, k))).astype(np.int32)
+    rs[rng.random((n, k)) < 0.05] = n * k
+    rs = jnp.asarray(rs)
+    g = jnp.asarray(rng.standard_normal((k * n, f)), bf)
+    valid_f = (rs < n * k).reshape(-1).astype(bf)
+    rs_km = jnp.where(rs < n * k, (rs % k) * n + rs // k, n * k)
+
+    def slotmajor(gf):
+        picked = jnp.take(gf, rs_km.reshape(-1), axis=0, mode="clip")
+        return (picked * valid_f[:, None]).reshape(n, k, f).sum(axis=1)
+
+    def nodemajor(gf):
+        gfn = jnp.swapaxes(gf.reshape(k, n, f), 0, 1).reshape(n * k, f)
+        picked = jnp.take(gfn, rs.reshape(-1), axis=0, mode="clip")
+        return (picked * valid_f[:, None]).reshape(n, k, f).sum(axis=1)
+
+    o1 = np.array(jax.jit(slotmajor)(g), np.float32)
+    o2 = np.array(jax.jit(nodemajor)(g), np.float32)
+    np.testing.assert_allclose(o1, o2, atol=1e-1, rtol=1e-2)
+    timed("slot-major rs_km gather", jax.jit(slotmajor), g)
+    timed("transpose + node-major", jax.jit(nodemajor), g)
+
+
+if __name__ == "__main__" and "2" in sys.argv[1:]:
+    main2()
