@@ -232,6 +232,10 @@ def main():
     m2 = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"), Irreps("1x1o"),
                lmax_attr=2, num_layers=NUM_LAYERS, remat=True, layout="cm",
                use_pallas=True)
+    # compact per-tile sender tables at the generic dispatch tile (r5):
+    # ~5x fewer gathered rows + split reverse-table sender gradients
+    g250 = g250.with_gather_tables(
+        tile=m2.layers[0]._pick_generic_tile(250_000))
     p2 = m2.init(jax.random.key(0))
     a2 = jax.jit(m2.compute_attributes_dense)(g250)
     g250b = g250._replace(nodes=g250.nodes.astype(jnp.bfloat16))

@@ -90,6 +90,15 @@ class DenseEdgeGraph:
     gather_tab: Optional[jnp.ndarray] = None  # [ntiles, U] int32 node ids
     gather_rev: Optional[jnp.ndarray] = None  # [Npad, Q] int32 flat tab slots
     gather_tile: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # split reverse table (r5): the [N, Q] rev gather-sum pays Q row-gathers
+    # per node although the mean per-node table count is ~2.5-3.4 — and the
+    # TPU gather cost is per ROW (~13-16 ns), not per byte
+    # (tools/exp_tab250.py: [N,12] 44-49 ms vs split 12-15 ms at 250k/K=16).
+    # Dense part: every node's first q0 entries; remainder: compacted COO
+    # sorted by node, summed in via one short gather + sorted segment-sum.
+    gather_rev_dense: Optional[jnp.ndarray] = None  # [Npad, q0] flat tab slots
+    gather_rem_pos: Optional[jnp.ndarray] = None  # [M] flat tab slots
+    gather_rem_node: Optional[jnp.ndarray] = None  # [M] node ids (sorted; pad=N)
 
     def _replace(self, **kw) -> "DenseEdgeGraph":
         return dataclasses.replace(self, **kw)
@@ -211,9 +220,26 @@ class DenseEdgeGraph:
         within = np.arange(len(sv)) - starts[sv]
         rev[sv, within] = sp.astype(np.int32)
 
+        # split reverse table: dense [Npad, q0] + compacted remainder COO.
+        # q0=2 measured fastest at the 250k config (the sorted segment-sum
+        # absorbs the remainder almost for free; tools/exp_tab250.py).
+        q0 = min(2, q)
+        nodes_r, cols_r = np.nonzero(rev[:, q0:] < ntiles * u)
+        pos_r = rev[nodes_r, q0 + cols_r]
+        m = len(pos_r)
+        mcap = -(-max(m, 1) // 1024) * 1024
+        rem_pos = np.zeros((mcap,), np.int32)
+        rem_node = np.full((mcap,), npad, np.int32)  # pad -> trash segment
+        rem_pos[:m] = pos_r.astype(np.int32)
+        rem_node[:m] = nodes_r.astype(np.int32)  # nonzero scans row-major:
+        # already sorted by node, as the sorted segment-sum requires
+
         return self._replace(
             gather_loc=jnp.asarray(loc),
             gather_tab=jnp.asarray(tab),
             gather_rev=jnp.asarray(rev),
             gather_tile=tile,
+            gather_rev_dense=jnp.asarray(rev[:, :q0].copy()),
+            gather_rem_pos=jnp.asarray(rem_pos),
+            gather_rem_node=jnp.asarray(rem_node),
         )

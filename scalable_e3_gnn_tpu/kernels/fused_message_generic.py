@@ -288,6 +288,60 @@ class FusedMessageGeneric:
         self._call_sym = jax.custom_vjp(call_sym)
         self._call_sym.defvjp(call_sym_fwd, call_sym_bwd)
 
+        # tabled entry (geo_call_tab): per-tile compact sender tables
+        # (graph.container.with_gather_tables) replace the [K, N, F] row
+        # gather with h[tab] ([ntiles·U, F], ~4-5x fewer rows — the TPU
+        # gather cost is per row, tools/exp_tab250.py) and an in-kernel
+        # one-hot MXU expand; sender gradients come back as the compact
+        # [U, F] per-tile blocks and reach h through the SPLIT reverse
+        # table (dense [N, q0] gather-sum + sorted-segment remainder:
+        # 53 -> 12 ms at 250k/K=16 vs the reverse-slot gather).  Residuals
+        # are node-sized + the saved ys (residual mode) or node-sized only
+        # (replay mode, remat_kernel configs).
+        def call_tab(params_tuple, h, geo2, loc, tabf, revd, remp, remn):
+            hu = jnp.take(h, tabf, axis=0, mode="clip")
+            return self._fwd_call_tab(params_tuple, hu, h, geo2, loc)
+
+        def call_tab_fwd(params_tuple, h, geo2, loc, tabf, revd, remp, remn):
+            hu = jnp.take(h, tabf, axis=0, mode="clip")
+            if self.residual_bwd:
+                out, ys = self._fwd_call_tab(params_tuple, hu, h, geo2, loc,
+                                             save=True)
+                return out, (params_tuple, h, geo2, loc, tabf, revd, remp,
+                             remn, tuple(ys))
+            out = self._fwd_call_tab(params_tuple, hu, h, geo2, loc)
+            return out, (params_tuple, h, geo2, loc, tabf, revd, remp, remn,
+                         None)
+
+        def call_tab_bwd(res, d_agg):
+            (params_tuple, h, geo2, loc, tabf, revd, remp, remn, ys) = res
+            hu = jnp.take(h, tabf, axis=0, mode="clip")
+            if ys is not None:
+                d_params, d_hu, dhr = self._bwd_call_res_tab(
+                    params_tuple, hu, h, geo2, loc, ys, d_agg)
+            else:
+                d_params, d_hu, dhr = self._bwd_call_rep_tab(
+                    params_tuple, hu, h, geo2, loc, d_agg)
+            n = h.shape[0]
+            npad = revd.shape[0]
+            total = d_hu.shape[0]
+            acc = None
+            for qq in range(revd.shape[1]):
+                idx = revd[:, qq]
+                v = (idx < total).astype(d_agg.dtype)
+                p = jnp.take(d_hu, idx, axis=0, mode="clip") * v[:, None]
+                acc = p if acc is None else acc + p
+            rem = jnp.take(d_hu, remp, axis=0, mode="clip")
+            acc = acc + jax.ops.segment_sum(
+                rem, remn, num_segments=npad, indices_are_sorted=True)
+            z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+            return (d_params, (acc[:n] + dhr).astype(h.dtype),
+                    jnp.zeros_like(geo2), z(loc), z(tabf), z(revd), z(remp),
+                    z(remn))
+
+        self._call_tab = jax.custom_vjp(call_tab)
+        self._call_tab.defvjp(call_tab_fwd, call_tab_bwd)
+
     # ---- tile computation (shared by fwd and the in-kernel vjp) ----
 
     def _layer_tp(self, layer, p, m, attr):
@@ -340,6 +394,23 @@ class FusedMessageGeneric:
         if self.k == 1:
             return hs_ref[0]
         return jnp.concatenate([hs_ref[k] for k in range(self.k)], axis=0)
+
+    def _expand_hu(self, hu, loc, tile):
+        """Tabled expand: [U, F] compact sender rows + [T, K] table indices
+        -> ([K*T, F] slot-major rows, [K*T, U] one-hot).
+
+        One-hot rows select table entries on the MXU (exact: 0/1 weights,
+        one nonzero per row); invalid slots carry ``loc == U`` and produce
+        all-zero rows — which also drops their cotangents in the backward's
+        transposed ``onehot^T @ dm`` without any separate mask."""
+        U = hu.shape[0]
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (tile, U), 1)
+        parts = [(loc[:, k : k + 1] == iota_u).astype(hu.dtype)
+                 for k in range(self.k)]
+        onehot = jnp.concatenate(parts, axis=0) if self.k > 1 else parts[0]
+        rows = jnp.dot(onehot, hu,
+                       preferred_element_type=jnp.float32).astype(hu.dtype)
+        return rows, onehot
 
     def _psel_list(self, psel_vals):
         """Expand the compact fast-layer psel sequence to per-layer/None."""
@@ -829,6 +900,260 @@ class FusedMessageGeneric:
         d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
         return d_params, dhs, dhr
 
+    # ---- tabled variants (compact per-tile sender tables) ----
+
+    def _tab_specs(self, tile, f, a, u, wdefs):
+        T, K = tile, self.k
+        row = lambda i: (i, 0)
+        fix = lambda i: (0, 0)
+        data = [
+            pl.BlockSpec((u, f), row, memory_space=pltpu.VMEM),   # hu
+            pl.BlockSpec((T, K), row, memory_space=pltpu.VMEM),   # loc
+            pl.BlockSpec((T, f), row, memory_space=pltpu.VMEM),   # hr
+            pl.BlockSpec((T, K * (a + 2)), row, memory_space=pltpu.VMEM),
+        ]
+        ws = [pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM)
+              for w in wdefs]
+        return data, ws
+
+    def _tab_dims(self, hu, hr, geo2, loc):
+        n, f = hr.shape
+        a = geo2.shape[-1] // self.k - 2
+        tile = self.tile
+        assert n % tile == 0, (n, tile)
+        ntiles = n // tile
+        assert hu.shape[0] % ntiles == 0, (hu.shape, ntiles)
+        u = hu.shape[0] // ntiles
+        assert loc.shape == (n, self.k), (loc.shape, (n, self.k))
+        return n, f, a, tile, u
+
+    def _fwd_call_tab(self, params_tuple, hu, hr, geo2, loc,
+                      save: bool = False):
+        """Tabled forward: sender rows expand from the per-tile compact
+        table block on the MXU (``_expand_hu``); everything downstream is
+        the standard slot-major tile computation."""
+        n, f, a, tile, u = self._tab_dims(hu, hr, geo2, loc)
+        flat, treedef = jax.tree_util.tree_flatten(params_tuple)
+        nlay = len(self.layers)
+        nw, nps = len(flat), len(self._psel_ops)
+
+        def kernel(*refs):
+            hu_ref, loc_ref, hr_ref, geo_ref = refs[:4]
+            w_refs = refs[4 : 4 + nw]
+            psels = self._psel_list(
+                [r[:] for r in refs[4 + nw : 4 + nw + nps]])
+            out_ref = refs[4 + nw + nps]
+            y_refs = refs[5 + nw + nps : -1]
+            d2_t, attr_t, mask_t = self._geo_rows(geo_ref, refs[-1], tile, a)
+            hs_t, _ = self._expand_hu(hu_ref[:], loc_ref[:], tile)
+            hr_rep = self._rep_rows(hr_ref[:])
+            wvals = jax.tree_util.tree_unflatten(
+                treedef, [r[:] for r in w_refs])
+            if save:
+                out, ys = self._message_stages(
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, psels=psels)
+                for r, y in zip(y_refs, ys):
+                    for k in range(self.k):
+                        r[k] = y[k * tile : (k + 1) * tile].astype(r.dtype)
+            else:
+                out = self._message(
+                    wvals, hs_t, hr_rep, d2_t, attr_t, mask_t, psels=psels)
+            out_ref[:] = out.astype(out_ref.dtype)
+
+        data_specs, w_specs = self._tab_specs(tile, f, a, u, flat)
+        w_specs = w_specs + self._psel_specs()
+        od = self.out_dim
+        out_specs = pl.BlockSpec((tile, od), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, od), hr.dtype)
+        if save:
+            dims = self._ydims
+            out_specs = (out_specs,) + tuple(
+                pl.BlockSpec((self.k, tile, d), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM) for d in dims)
+            out_shape = (out_shape,) + tuple(
+                jax.ShapeDtypeStruct((self.k, n, d), hr.dtype)
+                for d in dims)
+        res = pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=data_specs + w_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
+            compiler_params=_COMPILER_PARAMS,
+            cost_estimate=_cost(self.k, n, flat, [hu, hr, geo2], [hr]),
+        )(hu, loc, hr, geo2, *flat, *self._psel_ops)
+        if save:
+            return res[0], list(res[1 : 1 + nlay])
+        return res
+
+    def _bwd_call_res_tab(self, params_tuple, hu, hr, geo2, loc, ys, d_agg):
+        """Tabled residual backward: the z-free transpose chain from saved
+        pre-gate ys, with the sender cotangent collapsed to the compact
+        per-tile table block in-kernel (``onehot^T @ dm`` — exact 0/1 MXU
+        transpose; within-tile duplicate senders accumulate in fp32)."""
+        n, f, a, tile, u = self._tab_dims(hu, hr, geo2, loc)
+        flat, treedef = jax.tree_util.tree_flatten(params_tuple)
+        nlay = len(self.layers)
+        nw, nps = len(flat), len(self._psel_ops)
+
+        def kernel(*refs):
+            hu_ref, loc_ref, hr_ref, geo_ref = refs[:4]
+            w_refs = refs[4 : 4 + nw]
+            psels = self._psel_list(
+                [r[:] for r in refs[4 + nw : 4 + nw + nps]])
+            y_refs = refs[4 + nw + nps : 4 + nw + nps + nlay]
+            dagg_ref = refs[4 + nw + nps + nlay]
+            dhu_ref, dhr_ref = refs[5 + nw + nps + nlay : 7 + nw + nps + nlay]
+            dw_refs = refs[7 + nw + nps + nlay : -1]
+            d2_t, attr_t, mask_t = self._geo_rows(geo_ref, refs[-1], tile, a)
+            hs_t, onehot = self._expand_hu(hu_ref[:], loc_ref[:], tile)
+            dt = hs_t.dtype
+            hr_rep = self._rep_rows(hr_ref[:])
+            wvals = jax.tree_util.tree_unflatten(
+                treedef, [r[:] for r in w_refs])
+            yts = [self._assemble_hs(r) for r in y_refs]
+            ms = [jnp.concatenate(
+                [hs_t, hr_rep, d2_t.astype(dt)], axis=-1)]
+            for i, y in enumerate(yts[:-1]):
+                ms.append(self._gate_apply(i, y, psels[i]))
+
+            dagg = dagg_ref[:].astype(jnp.float32)
+            dm, dws = self._transpose_chain(
+                wvals, psels, ms, yts, attr_t, mask_t, dagg, dt)
+            dhu_ref[:] = jax.lax.dot_general(
+                onehot, dm[:, :f], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dhu_ref.dtype)
+            dhr_ref[:] = self._ksum(dm[:, f : 2 * f]).astype(dhr_ref.dtype)
+
+            i0 = pl.program_id(0)
+
+            @pl.when(i0 == 0)
+            def _():
+                for r in dw_refs:
+                    r[:] = jnp.zeros_like(r)
+
+            for r, dwv in zip(dw_refs, jax.tree_util.tree_leaves(tuple(dws))):
+                r[:] += dwv.astype(r.dtype)
+
+        data_specs, w_specs = self._tab_specs(tile, f, a, u, flat)
+        w_specs = w_specs + self._psel_specs()
+        fix = lambda i: (0, 0)
+        y_specs = [pl.BlockSpec((self.k, tile, d), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM) for d in self._ydims]
+        dagg_spec = [pl.BlockSpec((tile, self.out_dim), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = (
+            jax.ShapeDtypeStruct(hu.shape, hu.dtype),
+            jax.ShapeDtypeStruct(hr.shape, hr.dtype),
+        ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat)
+        out_specs = (
+            pl.BlockSpec((u, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(
+            pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM) for w in flat
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=data_specs + w_specs + y_specs + dagg_spec,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
+            compiler_params=_COMPILER_PARAMS,
+            cost_estimate=_cost(self.k, n, flat,
+                                [hu, hr, geo2, d_agg] + list(ys),
+                                [hu, hr], scale=2),
+        )(hu, loc, hr, geo2, *flat, *self._psel_ops, *ys, d_agg)
+        d_hu, dhr = outs[0], outs[1]
+        dw_flat = [d.astype(w.dtype) for d, w in zip(outs[2:], flat)]
+        d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
+        return d_params, d_hu, dhr
+
+    def _bwd_call_rep_tab(self, params_tuple, hu, hr, geo2, loc, d_agg):
+        """Tabled replay backward: rebuild the pre-gate ys in-kernel (no
+        saved residual streams — the remat_kernel mode), then the z-free
+        transpose chain with the compact sender-cotangent collapse."""
+        n, f, a, tile, u = self._tab_dims(hu, hr, geo2, loc)
+        flat, treedef = jax.tree_util.tree_flatten(params_tuple)
+        nlay = len(self.layers)
+        nw, nps = len(flat), len(self._psel_ops)
+
+        def kernel(*refs):
+            hu_ref, loc_ref, hr_ref, geo_ref = refs[:4]
+            w_refs = refs[4 : 4 + nw]
+            psels = self._psel_list(
+                [r[:] for r in refs[4 + nw : 4 + nw + nps]])
+            dagg_ref = refs[4 + nw + nps]
+            dhu_ref, dhr_ref = refs[5 + nw + nps : 7 + nw + nps]
+            dw_refs = refs[7 + nw + nps : -1]
+            d2_t, attr_t, mask_t = self._geo_rows(geo_ref, refs[-1], tile, a)
+            hs_t, onehot = self._expand_hu(hu_ref[:], loc_ref[:], tile)
+            dt = hs_t.dtype
+            hr_rep = self._rep_rows(hr_ref[:])
+            wvals = jax.tree_util.tree_unflatten(
+                treedef, [r[:] for r in w_refs])
+            m = jnp.concatenate([hs_t, hr_rep, d2_t.astype(dt)], axis=-1)
+            ms, yts = [m], []
+            for i, (layer, p) in enumerate(zip(self.layers, wvals)):
+                y = self._layer_tp(layer, p, m, attr_t)
+                yts.append(y)
+                if i < nlay - 1:
+                    m = self._gate_apply(i, y, psels[i])
+                    ms.append(m)
+
+            dagg = dagg_ref[:].astype(jnp.float32)
+            dm, dws = self._transpose_chain(
+                wvals, psels, ms, yts, attr_t, mask_t, dagg, dt)
+            dhu_ref[:] = jax.lax.dot_general(
+                onehot, dm[:, :f], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dhu_ref.dtype)
+            dhr_ref[:] = self._ksum(dm[:, f : 2 * f]).astype(dhr_ref.dtype)
+
+            i0 = pl.program_id(0)
+
+            @pl.when(i0 == 0)
+            def _():
+                for r in dw_refs:
+                    r[:] = jnp.zeros_like(r)
+
+            for r, dwv in zip(dw_refs, jax.tree_util.tree_leaves(tuple(dws))):
+                r[:] += dwv.astype(r.dtype)
+
+        data_specs, w_specs = self._tab_specs(tile, f, a, u, flat)
+        w_specs = w_specs + self._psel_specs()
+        fix = lambda i: (0, 0)
+        dagg_spec = [pl.BlockSpec((tile, self.out_dim), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = (
+            jax.ShapeDtypeStruct(hu.shape, hu.dtype),
+            jax.ShapeDtypeStruct(hr.shape, hr.dtype),
+        ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat)
+        out_specs = (
+            pl.BlockSpec((u, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(
+            pl.BlockSpec(w.shape, fix, memory_space=pltpu.VMEM) for w in flat
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=data_specs + w_specs + dagg_spec,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((self.k * tile, a + 2), hr.dtype)],
+            compiler_params=_COMPILER_PARAMS,
+            cost_estimate=_cost(self.k, n, flat, [hu, hr, geo2, d_agg],
+                                [hu, hr], scale=3),
+        )(hu, loc, hr, geo2, *flat, *self._psel_ops, d_agg)
+        d_hu, dhr = outs[0], outs[1]
+        dw_flat = [d.astype(w.dtype) for d, w in zip(outs[2:], flat)]
+        d_params = jax.tree_util.tree_unflatten(treedef, dw_flat)
+        return d_params, d_hu, dhr
+
     # ---- public entry ----
 
     def _fold(self, params_tuple):
@@ -903,3 +1228,14 @@ class FusedMessageGeneric:
         assert self.replay_bwd, "geo_call_sym needs the replay backward"
         return self._call_sym(self._fold(params_tuple), h, geo2, senders,
                               reverse_slot)
+
+    def geo_call_tab(self, params_tuple, h, geo2, loc, tab, rev_dense,
+                     rem_pos, rem_node):
+        """Tabled entry (graph.container.with_gather_tables, built at
+        ``tile == self.tile``): compact per-tile sender gather + in-kernel
+        one-hot expand; sender gradients via the split reverse table.
+        ``tab`` may be [ntiles, U] or flat [ntiles*U]."""
+        assert self.residual_bwd or self.replay_bwd, \
+            "geo_call_tab needs a hand-structured backward (folded layers)"
+        return self._call_tab(self._fold(params_tuple), h, geo2, loc,
+                              tab.reshape(-1), rev_dense, rem_pos, rem_node)

@@ -350,6 +350,7 @@ class SEGNNLayer:
                 return self._fused_messages_generic(
                     msg_params, h_local_b, h_ext_, senders_b, edge_attr_b,
                     dist2_b, mask_b, reverse_slot=rs, edge_geo=geo_b,
+                    gather=gt if h_ext_ is h_local_b else None,
                 )
             if rs is not None and h_ext_ is h_local_b:
                 hs = take_dense_symmetric(h_ext_, senders_b, rs, mask_b)
@@ -399,8 +400,13 @@ class SEGNNLayer:
             pallas = self.use_pallas or self.use_pallas_generic
             sym = (rs is not None and h_ext is h_local
                    and self._sym_regather_eligible(n, rs_available=True))
+            # the tabled generic path's custom_vjp residuals are node-sized
+            # under remat_kernel (replay backward) — a checkpoint would only
+            # re-add the redundant kernel forward, exactly like sym
+            tab = (gt is not None and h_ext is h_local
+                   and self._tab_eligible(n, gt))
             if (self.remat and not pallas) or (
-                    self.remat_kernel and pallas and not sym):
+                    self.remat_kernel and pallas and not (sym or tab)):
                 f = jax.checkpoint(f)
             agg = f(
                 params, h_ext, h_local, senders, edge_attr, edge_dist2,
@@ -662,7 +668,7 @@ class SEGNNLayer:
             fused_message_aggregate_tabled,
         )
 
-        loc, gtab, rtab, gtile = gather
+        loc, gtab, rtab, _, _, _, gtile = gather
         n, k = edge_mask.shape
         f = h_local.shape[-1]
         npad = loc.shape[0]
@@ -702,6 +708,22 @@ class SEGNNLayer:
                 return t
         return 64
 
+    def _tab_eligible(self, n: int, gather) -> bool:
+        """True when the generic dispatch will take ``geo_call_tab`` — the
+        compact per-tile sender-table path (r5): ~4-5x fewer gathered rows
+        than the [K, N, F] expansion and a split reverse table for sender
+        gradients (53 -> 12 ms at 250k/K=16; tools/exp_tab250.py).  Needs
+        tables built at exactly the dispatch tile, the split-rev arrays
+        (container r5 format), and a hand-structured kernel backward.
+        Under ``remat_kernel`` the residuals are node-sized (replay mode),
+        so apply_dense skips the jax.checkpoint for this case too."""
+        if not self.use_pallas_generic or gather is None:
+            return False
+        loc, _, _, revd, remp, remn, gtile = gather
+        if revd is None or remp is None or remn is None or loc is None:
+            return False
+        return gtile == self._pick_generic_tile(n) and loc.shape[0] == n
+
     def _sym_regather_eligible(self, n: int, rs_available: bool) -> bool:
         """True when the generic dispatch will take ``geo_call_sym`` — the
         sender gather inside the kernel custom_vjp, node-sized residuals
@@ -718,7 +740,7 @@ class SEGNNLayer:
 
     def _fused_messages_generic(
         self, params, h_local, h_ext, senders, edge_attr, edge_dist2,
-        edge_mask, reverse_slot=None, edge_geo=None, hs=None,
+        edge_mask, reverse_slot=None, edge_geo=None, hs=None, gather=None,
     ):
         """Dispatch the message MLP + aggregation to the generic fused kernel.
 
@@ -766,6 +788,21 @@ class SEGNNLayer:
 
         dt = h_local.dtype
         geo2 = self._geo2(edge_geo, edge_attr, edge_dist2, edge_mask, dt)
+        if (hs is None and h_ext is h_local and npad == n
+                and gather is not None and gather[3] is not None
+                and gather[0] is not None and gather[0].shape[0] == n
+                and gather[6] == kern.tile
+                and (kern.residual_bwd or kern.replay_bwd)):
+            # tabled path: compact per-tile sender gather, in-kernel one-hot
+            # expand, split reverse-table sender gradients — subsumes both
+            # the reverse-slot gather (residual mode) and the sym-regather
+            # entry (replay mode; node-sized residuals, no checkpoint)
+            loc, gtab, _, revd, remp, remn, _ = gather
+            ptuple = tuple(
+                params[f"msg_{i}"] for i in range(len(self.message_layers))
+            )
+            return kern.geo_call_tab(
+                ptuple, h_local, geo2, loc, gtab, revd, remp, remn)[:n]
         if (hs is None and reverse_slot is not None and h_ext is h_local
                 and npad == n
                 and self._sym_regather_eligible(n, rs_available=True)):
@@ -1061,7 +1098,8 @@ class SEGNN:
         if graph.gather_loc is not None:
             gather = (
                 graph.gather_loc, graph.gather_tab, graph.gather_rev,
-                graph.gather_tile,
+                graph.gather_rev_dense, graph.gather_rem_pos,
+                graph.gather_rem_node, graph.gather_tile,
             )
 
         def layer_body(lp, h_, layer):

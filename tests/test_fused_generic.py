@@ -298,3 +298,96 @@ def test_remat_kernel_sym_model_grads_match():
                     jax.tree_util.tree_leaves(g_b)):
         np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
                                    rtol=1e-4)
+
+
+def test_tabled_entry_matches():
+    """geo_call_tab (compact per-tile sender tables, in-kernel one-hot
+    expand, split reverse-table sender gradients) must match geo_call +
+    take_dense_symmetric_km in forward and all gradients — in both the
+    residual and the replay backward modes (r5)."""
+    from scalable_e3_gnn_tpu.kernels.fused_message_generic import (
+        FusedMessageGeneric)
+    from scalable_e3_gnn_tpu.ops.gather_scatter import take_dense_symmetric_km
+
+    m_ref, m_pal = _models()
+    layer = m_pal.layers[0]
+    g = _graph(128, seed=8).with_gather_tables(tile=8)
+    n, k = g.senders.shape
+    params = m_pal.init(jax.random.key(10))
+    lp = params["layer_0"]
+    attrs = m_pal.compute_attributes_dense(g)
+    geo2 = attrs[3].reshape(n, -1)
+    f = m_pal.hidden_irreps.dim
+    h = jax.random.normal(jax.random.key(11), (n, f), jnp.float32)
+    ptuple = (lp["msg_0"], lp["msg_1"])
+    tabargs = (g.gather_loc, g.gather_tab, g.gather_rev_dense,
+               g.gather_rem_pos, g.gather_rem_node)
+
+    def loss_ref(kern):
+        def f_(args):
+            p, h_ = args
+            hs = take_dense_symmetric_km(h_, g.senders, g.reverse_slot,
+                                         g.edge_mask)
+            return (kern.geo_call(p, hs, h_, geo2) ** 2).sum()
+        return f_
+
+    def loss_tab(kern):
+        def f_(args):
+            p, h_ = args
+            return (kern.geo_call_tab(p, h_, geo2, *tabargs) ** 2).sum()
+        return f_
+
+    for residual in (True, False):
+        kern = FusedMessageGeneric(layer.message_layers, k, tile=8,
+                                   bwd_tile=8, residual_bwd=residual)
+        assert kern.residual_bwd == residual
+        with pltpu.force_tpu_interpret_mode():
+            o_ref = np.array(kern.geo_call(
+                ptuple, take_dense_symmetric_km(
+                    h, g.senders, g.reverse_slot, g.edge_mask), h, geo2))
+            o_tab = np.array(kern.geo_call_tab(ptuple, h, geo2, *tabargs))
+            g_ref = jax.grad(loss_ref(kern))((ptuple, h))
+            g_tab = jax.grad(loss_tab(kern))((ptuple, h))
+        np.testing.assert_allclose(o_tab, o_ref, atol=1e-6,
+                                   err_msg=f"residual={residual}")
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_tab)):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                                       rtol=1e-4,
+                                       err_msg=f"residual={residual}")
+
+
+def test_tabled_model_dispatch_grads_match():
+    """A model fed a graph carrying matching-tile gather tables must take
+    the tabled generic path (asserted via _tab_eligible) and reproduce the
+    untabled model's gradients — for both the plain (residual) and the
+    remat_kernel (replay, no checkpoint) configurations."""
+    g0 = _graph(128, seed=12)
+    m_ref = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+                  num_layers=2, layout="cm", lmax_attr=2)
+    m_plain = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+                    num_layers=2, layout="cm", lmax_attr=2, use_pallas=True)
+    t = m_plain.layers[0]._pick_generic_tile(128)
+    g = g0.with_gather_tables(tile=t)
+    gather = (g.gather_loc, g.gather_tab, g.gather_rev, g.gather_rev_dense,
+              g.gather_rem_pos, g.gather_rem_node, g.gather_tile)
+    assert m_plain.layers[0]._tab_eligible(128, gather)
+    m_rk = SEGNN(Irreps("2x0e+1x1o"), Irreps(HIDDEN), Irreps("1x1o"),
+                 num_layers=2, layout="cm", lmax_attr=2, use_pallas=True,
+                 remat=True, remat_kernel=True, residual_bwd=False)
+    params = m_plain.init(jax.random.key(13))
+    tgt = jnp.asarray(np.random.default_rng(14).standard_normal((128, 3)),
+                      jnp.float32)
+
+    def loss(model, graph):
+        return lambda p: ((model(p, graph) - tgt) ** 2).mean()
+
+    g_base = jax.grad(loss(m_ref, g0))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_tab = jax.grad(loss(m_plain, g))(params)
+        g_rk = jax.grad(loss(m_rk, g))(params)
+    for got, name in ((g_tab, "tabled"), (g_rk, "remat_kernel-tabled")):
+        for a, b in zip(jax.tree_util.tree_leaves(g_base),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                                       rtol=1e-4, err_msg=name)

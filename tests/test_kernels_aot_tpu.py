@@ -78,6 +78,46 @@ def test_generic_kernel_compiles_for_tpu(tpu_device):
         _compile(jax.grad(loss), tpu_device, (ptuple, hs, h))
 
 
+def test_tabled_generic_kernel_compiles_for_tpu(tpu_device):
+    """Tabled generic kernel (geo_call_tab: in-kernel one-hot expand from
+    compact per-tile sender tables, split-rev sender gradients) fwd+bwd in
+    both the residual and the replay backward modes (r5)."""
+    from scalable_e3_gnn_tpu.core.irreps import Irreps
+    from scalable_e3_gnn_tpu.kernels.fused_message_generic import (
+        FusedMessageGeneric)
+    from scalable_e3_gnn_tpu.models.segnn import SEGNNLayer
+
+    layer = SEGNNLayer(Irreps("24x0e+12x1o+6x2e"),
+                       Irreps.spherical_harmonics(2), layout="cm",
+                       use_pallas=True)
+    n, k, f = 192, 16, layer.hidden_irreps.dim
+    a = Irreps.spherical_harmonics(2).dim
+    tile, u, q0, m = 96, 256, 2, 1024
+    ntiles = n // tile
+    params = layer.init(jax.random.key(0))
+    ptuple = (params["msg_0"], params["msg_1"])
+    h = jnp.zeros((n, f), jnp.bfloat16)
+    geo2 = jnp.zeros((n, k * (a + 2)), jnp.bfloat16)
+    loc = jnp.zeros((n, k), jnp.int32)
+    tab = jnp.zeros((ntiles, u), jnp.int32)
+    revd = jnp.zeros((n, q0), jnp.int32)
+    remp = jnp.zeros((m,), jnp.int32)
+    remn = jnp.full((m,), n, jnp.int32)
+
+    for residual in (True, False):
+        kern = FusedMessageGeneric(layer.message_layers, k, tile=tile,
+                                   bwd_tile=tile, residual_bwd=residual,
+                                   colpad=True)
+
+        def loss(args):
+            p, h_ = args
+            return kern.geo_call_tab(
+                p, h_, geo2, loc, tab, revd, remp, remn
+            ).astype(jnp.float32).sum()
+
+        _compile(jax.grad(loss), tpu_device, (ptuple, h))
+
+
 @pytest.mark.parametrize("pack", [1, 2])
 def test_lmax1_kernel_compiles_for_tpu(tpu_device, pack):
     """lmax=1 fused kernel fwd+bwd at the 100k-bench configuration.

@@ -55,16 +55,18 @@ def main():
     cap = suggest_cell_capacity(tree, r, lo, hi)
     e = jax.jit(lambda t: radius_graph_cell(
         t, r, lo, hi, max_neighbors=k, cell_capacity=cap))(tree)
-    g = DenseEdgeGraph.from_radius_edges(
+    g0 = DenseEdgeGraph.from_radius_edges(
         jnp.asarray(rng.standard_normal((n, 5)).astype(np.float32)),
         tree.points, e, symmetrize=True)
-    print("edges:", int(g.edge_mask.sum()), flush=True)
+    print("edges:", int(g0.edge_mask.sum()), flush=True)
     tgt = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
 
     for spec in specs:
         parts = spec.split(":")
         t_s, b_s = int(parts[0]), int(parts[1])
-        dg = len(parts) > 2 and parts[2] == "dg"
+        dg = "dg" in parts[2:]
+        tab = "tab" in parts[2:]
+        g = g0.with_gather_tables(tile=t_s) if tab else g0
         m = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"),
                   Irreps("1x1o"), lmax_attr=2, num_layers=4, remat=True,
                   layout="cm", use_pallas=True)

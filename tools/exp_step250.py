@@ -82,6 +82,9 @@ def main():
         m = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"),
                   Irreps("1x1o"), lmax_attr=2, num_layers=4, remat=True,
                   layout="cm", use_pallas=True)
+        if "untabled" not in sys.argv[1:]:
+            g = g.with_gather_tables(
+                tile=m.layers[0]._pick_generic_tile(250_000))
         s, ne = time_step(m, g, geo_only=True, iters=5)
         print(f"250k step {s*1e3:8.1f} ms  ({ne/s/1e6:.2f}M edges/s)",
               flush=True)

@@ -88,10 +88,6 @@ def main():
     timed("kloop f32-accum", jax.jit(kloop32), g)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def main2():
     """Locality probe: transpose dhs to node-major first, then gather with
     the NODE-major rs (Morton-local) — vs the slot-major rs_km gather."""
@@ -122,5 +118,62 @@ def main2():
     timed("transpose + node-major", jax.jit(nodemajor), g)
 
 
-if __name__ == "__main__" and "2" in sys.argv[1:]:
-    main2()
+def main3():
+    """REAL-graph locality: the synthetic permutation in main() has zero
+    locality; the real reverse table is Morton-local (node j's reverse slots
+    point at partner edges of Morton-near neighbors).  Time the backward
+    gather from (a) the current slot-major [K*N, F] cotangent layout vs
+    (b) a node-major [N*K, F] layout the kernel could write directly, both
+    at F=90 and lane-padded F=128."""
+    import jax.random as jrandom
+
+    from scalable_e3_gnn_tpu.graph.container import DenseEdgeGraph
+    from scalable_e3_gnn_tpu.graph.octree import build_octree
+    from scalable_e3_gnn_tpu.graph.radius import (
+        radius_graph_cell, suggest_cell_capacity)
+
+    rng = np.random.default_rng(0)
+    n, k, f = 256_000, 16, 90
+    pts = rng.random((n, 3)).astype(np.float32)
+    r = 0.04 * (100_000 / n) ** (1 / 3)
+    tree = jax.jit(lambda p: build_octree(p, (0.,)*3, (1.,)*3, num_levels=7))(
+        jnp.asarray(pts))
+    cap = suggest_cell_capacity(tree, r, (0.,)*3, (1.,)*3)
+    e = jax.jit(lambda t: radius_graph_cell(
+        t, r, (0.,)*3, (1.,)*3, max_neighbors=k, cell_capacity=cap))(tree)
+    g = DenseEdgeGraph.from_radius_edges(
+        jnp.asarray(rng.standard_normal((n, 5)).astype(np.float32)),
+        tree.points, e, symmetrize=True)
+
+    rs = np.asarray(g.reverse_slot)  # node-major flat t*K+k
+    valid = (rs < n * k).reshape(-1)
+    rs_c = np.minimum(rs, n * k - 1)
+    rs_km = ((rs_c % k) * n + rs_c // k).astype(np.int32)  # slot-major flat
+    rs_nm = rs_c.astype(np.int32)
+    valid_f = jnp.asarray(valid.astype(np.float32), bf)
+    rs_km = jnp.asarray(rs_km.reshape(-1))
+    rs_nm = jnp.asarray(rs_nm.reshape(-1))
+
+    for ff in (90, 128):
+        gk = jrandom.normal(jrandom.key(0), (k * n, ff), bf)
+        gn = jrandom.normal(jrandom.key(0), (n * k, ff), bf)
+
+        def km(gf):
+            picked = jnp.take(gf, rs_km, axis=0, mode="clip")
+            return (picked * valid_f[:, None]).reshape(n, k, ff).sum(axis=1)
+
+        def nm(gf):
+            picked = jnp.take(gf, rs_nm, axis=0, mode="clip")
+            return (picked * valid_f[:, None]).reshape(n, k, ff).sum(axis=1)
+
+        timed(f"slot-major F={ff}", jax.jit(km), gk)
+        timed(f"node-major F={ff}", jax.jit(nm), gn)
+
+
+if __name__ == "__main__":
+    if "2" in sys.argv[1:]:
+        main2()
+    elif "3" in sys.argv[1:]:
+        main3()
+    else:
+        main()
