@@ -276,6 +276,10 @@ def main():
     m4 = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"), Irreps("1x1o"),
                lmax_attr=2, num_layers=NUM_LAYERS, remat=True, layout="cm",
                use_pallas=True, remat_kernel=True)
+    # tabled compact sender gather at 1M too (r5): replay-mode tabled path
+    # keeps node-sized residuals (no checkpoint) AND drops the [K, N, F]
+    # slot-major gather — A/B 4059 -> 2620 ms (tools/exp_step250.py 1m)
+    g1m = g1m.with_gather_tables(tile=m4.layers[0]._pick_generic_tile(n1m))
     p4 = m4.init(jax.random.key(0))
     a4 = jax.jit(m4.compute_attributes_dense)(g1m)
     g1mb = g1m._replace(nodes=g1m.nodes.astype(jnp.bfloat16))

@@ -2,7 +2,7 @@
 and optionally the 100k lmax=1 headline — for kernel-change A/Bs without the
 10M graph builds the full bench runs.
 
-Usage: python tools/exp_step250.py [100k] [250k]
+Usage: python tools/exp_step250.py [100k] [250k] [1m] [untabled]
 """
 
 import sys
@@ -87,6 +87,22 @@ def main():
                 tile=m.layers[0]._pick_generic_tile(250_000))
         s, ne = time_step(m, g, geo_only=True, iters=5)
         print(f"250k step {s*1e3:8.1f} ms  ({ne/s/1e6:.2f}M edges/s)",
+              flush=True)
+    if "1m" in which:
+        from scalable_e3_gnn_tpu.graph.radius import search_level_for_radius
+
+        rng = np.random.default_rng(0)
+        n = 1_000_000
+        r = 0.04 * (100_000 / n) ** (1 / 3)
+        lv = max(4, search_level_for_radius(r, LO, HI) + 1)
+        g = build_graph(rng, n, 16, lv, r)
+        m = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"),
+                  Irreps("1x1o"), lmax_attr=2, num_layers=4, remat=True,
+                  layout="cm", use_pallas=True, remat_kernel=True)
+        if "untabled" not in sys.argv[1:]:
+            g = g.with_gather_tables(tile=m.layers[0]._pick_generic_tile(n))
+        s, ne = time_step(m, g, geo_only=True, iters=2)
+        print(f"1m step   {s*1e3:8.1f} ms  ({ne/s/1e6:.2f}M edges/s)",
               flush=True)
 
 
