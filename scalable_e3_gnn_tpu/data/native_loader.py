@@ -161,6 +161,18 @@ def morton_encode_sort(
     return out_pts, out_codes, out_order
 
 
+def _as_u8(mask: np.ndarray) -> np.ndarray:
+    """Contiguous uint8 view of a mask without copying when possible.
+
+    ``np.ascontiguousarray(mask, np.uint8)`` on a C-contiguous bool array
+    copies the whole buffer (numpy treats bool->uint8 as a cast) even
+    though the bytes are identical — ~0.3 s per 160 MB mask at the 10M
+    partition.  A reinterpreting ``view`` is free."""
+    if mask.dtype == np.bool_ and mask.flags.c_contiguous:
+        return mask.view(np.uint8)
+    return np.ascontiguousarray(mask, np.uint8)
+
+
 def gather_rows(src: np.ndarray, order: np.ndarray) -> np.ndarray:
     """Threaded ``src[order]`` for [N, F] float32 feature arrays."""
     src = np.ascontiguousarray(src, np.float32)
@@ -199,7 +211,7 @@ def rev_table_multi(
         return None
     P, S = tgt.shape
     tgt = np.ascontiguousarray(tgt, np.int32)
-    mk = None if mask is None else np.ascontiguousarray(mask, np.uint8)
+    mk = None if mask is None else _as_u8(mask)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     mp = mk.ctypes.data_as(u8p) if mk is not None else ctypes.cast(None, u8p)
@@ -223,7 +235,7 @@ def sender_pass(senders, mask, npp0, num_parts):
         return None
     n, k = senders.shape
     senders = np.ascontiguousarray(senders, np.int32)
-    mk = np.ascontiguousarray(mask, np.uint8)
+    mk = _as_u8(mask)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i8p = ctypes.POINTER(ctypes.c_int8)
@@ -248,7 +260,7 @@ def take_i32(table, idx, mask):
     table = np.ascontiguousarray(table, np.int32)
     shape = idx.shape
     idx = np.ascontiguousarray(idx, np.int32).reshape(-1)
-    mk = np.ascontiguousarray(mask, np.uint8).reshape(-1)
+    mk = _as_u8(mask).reshape(-1)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     out = np.empty(idx.shape, np.int32)
@@ -274,7 +286,7 @@ def rev_counts(
     if lib is None:
         return None
     tgt = np.ascontiguousarray(tgt, np.int32)
-    mk = None if mask is None else np.ascontiguousarray(mask, np.uint8)
+    mk = None if mask is None else _as_u8(mask)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     mp = mk.ctypes.data_as(u8p) if mk is not None else ctypes.cast(None, u8p)

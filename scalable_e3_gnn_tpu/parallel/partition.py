@@ -207,9 +207,13 @@ def partition_graph_dense(
     nodes = np.zeros((num_parts, npp, f), features.dtype)
     pos_ext = np.zeros((num_parts, npp + H, 3), positions.dtype)
     n_mask = np.zeros((num_parts, npp), bool)
-    s_int = np.full((num_parts, NI, k), npp, np.int32)
+    # np.empty + tail-only sentinel fill: remap() overwrites every real row
+    # (all K columns), so only the pad rows [cnt:] need the trash index —
+    # the full-array np.full fills were ~1.8 s of the real 10M/P=16
+    # partition (cProfile; pad slots are also masked, m_* calloc zeros)
+    s_int = np.empty((num_parts, NI, k), np.int32)
     m_int = np.zeros((num_parts, NI, k), bool)
-    s_bnd = np.full((num_parts, NB, k), npp + H, np.int32)
+    s_bnd = np.empty((num_parts, NB, k), np.int32)
     m_bnd = np.zeros((num_parts, NB, k), bool)
     boundary_idx = np.zeros((num_parts, H), np.int32)
     halo_map = np.zeros((num_parts, H), np.int32)
@@ -235,24 +239,30 @@ def partition_graph_dense(
         boundary_idx[p, : len(exp)] = LOCAL_OF[exp]
 
         def remap(rows, pad_idx, allow_remote):
+            # int32 throughout: searchsorted's int64 positions used to leak
+            # into the np.where and force a full-copy .astype(int32) on the
+            # [rows, K] result (~1.9 s of the real 10M/P=16 partition)
             sd, mk = senders[rows], edge_mask[rows]
             s_loc = SLOC[rows]
             if allow_remote:
                 local = mk & (OWNER[rows] == p)
                 slot = (
-                    np.searchsorted(hp, sd)
+                    np.searchsorted(hp, sd).astype(np.int32)
                     if len(hp)
-                    else np.zeros_like(sd, np.int64)
+                    else np.zeros_like(sd, np.int32)
                 )
-                s_new = np.where(local, s_loc, npp + slot)
+                s_new = np.where(local, s_loc, np.int32(npp) + slot)
             else:
                 s_new = s_loc
-            return np.where(mk, s_new, pad_idx).astype(np.int32), mk
+            out = np.where(mk, s_new, np.int32(pad_idx))
+            return out.astype(np.int32, copy=False), mk
 
         if cnt_i:
             s_int[p, :cnt_i], m_int[p, :cnt_i] = remap(gi, npp, False)
+        s_int[p, cnt_i:] = npp
         if cnt_b:
             s_bnd[p, :cnt_b], m_bnd[p, :cnt_b] = remap(gb, npp + H, True)
+        s_bnd[p, cnt_b:] = npp + H
 
     # sender-transpose tables for scatter-free gradients: rev[m] lists the
     # flat block-slot positions where row m is the sender (take_dense_rev).
@@ -266,9 +276,11 @@ def partition_graph_dense(
 
         if not available():
             return None
+        from ..data.native_loader import _as_u8
+
         tgt2 = np.ascontiguousarray(
             s_blk.reshape(num_parts, -1), np.int32)
-        mk2 = np.ascontiguousarray(m_blk.reshape(num_parts, -1), np.uint8)
+        mk2 = _as_u8(m_blk.reshape(num_parts, -1))
         counts = [rev_counts(tgt2[p], mk2[p], n_targets)
                   for p in range(num_parts)]
         if any(c is None for c in counts):
