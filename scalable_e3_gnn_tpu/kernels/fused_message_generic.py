@@ -305,17 +305,24 @@ class FusedMessageGeneric:
         def call_tab_fwd(params_tuple, h, geo2, loc, tabf, revd, remp, remn):
             hu = jnp.take(h, tabf, axis=0, mode="clip")
             if self.residual_bwd:
+                # save hu too: the TPU row gather costs ~13-16 ns/ROW, so
+                # regathering [ntiles·U, F] at backward time is ~12 ms/layer
+                # at 250k/t200 while the HBM save+load of the same block is
+                # <1 ms.  Replay mode (remat_kernel) keeps the regather —
+                # its contract is node-sized residuals only.
                 out, ys = self._fwd_call_tab(params_tuple, hu, h, geo2, loc,
                                              save=True)
                 return out, (params_tuple, h, geo2, loc, tabf, revd, remp,
-                             remn, tuple(ys))
+                             remn, tuple(ys), hu)
             out = self._fwd_call_tab(params_tuple, hu, h, geo2, loc)
             return out, (params_tuple, h, geo2, loc, tabf, revd, remp, remn,
-                         None)
+                         None, None)
 
         def call_tab_bwd(res, d_agg):
-            (params_tuple, h, geo2, loc, tabf, revd, remp, remn, ys) = res
-            hu = jnp.take(h, tabf, axis=0, mode="clip")
+            (params_tuple, h, geo2, loc, tabf, revd, remp, remn, ys,
+             hu) = res
+            if hu is None:
+                hu = jnp.take(h, tabf, axis=0, mode="clip")
             if ys is not None:
                 d_params, d_hu, dhr = self._bwd_call_res_tab(
                     params_tuple, hu, h, geo2, loc, ys, d_agg)

@@ -76,12 +76,23 @@ def main():
         s, ne = time_step(m, g, geo_only=False, iters=10)
         print(f"100k step {s*1e3:8.1f} ms  ({ne/s/1e6:.2f}M edges/s)",
               flush=True)
+    # A/B knobs: "t<NN>" forces the generic/table tile, "replay" switches
+    # the tabled backward from residual (saved ys) to in-kernel replay
+    tile_override = next(
+        (int(a[1:]) for a in sys.argv[1:]
+         if a.startswith("t") and a[1:].isdigit()), None)
+    replay = "replay" in sys.argv[1:]
+    if tile_override is not None:
+        from scalable_e3_gnn_tpu.models import segnn as _segnn
+        _segnn.SEGNNLayer._pick_generic_tile = staticmethod(
+            lambda n: tile_override)
     if "250k" in which:
         rng = np.random.default_rng(0)
         g = build_graph(rng, 250_000, 16, 7, 0.04 * (100_000 / 250_000) ** (1 / 3))
         m = SEGNN(Irreps("2x0e+1x1o"), Irreps("24x0e+12x1o+6x2e"),
                   Irreps("1x1o"), lmax_attr=2, num_layers=4, remat=True,
-                  layout="cm", use_pallas=True)
+                  layout="cm", use_pallas=True,
+                  residual_bwd=not replay, replay_bwd=True)
         if "untabled" not in sys.argv[1:]:
             g = g.with_gather_tables(
                 tile=m.layers[0]._pick_generic_tile(250_000))
