@@ -185,11 +185,13 @@ def main():
     step = make_train_step(loss_fn, opt, donate=False)
     state = make_train_state(params, opt)
 
-    (state, m), step_s = _timed(lambda s: step(s, graph, attrs, target), state, iters=10)
-    # inference fwd: per-tile compact sender tables (tabled gather) win for
-    # fwd-only (A/B on TPU v5e: 77 vs 88 ms); training step stays untabled
-    # (297 vs 303 ms) — the tabled backward's reverse-table pass is a wash.
-    graph_t = graph.with_gather_tables(tile=64)
+    # tabled compact sender gather for TRAINING too (r5 final): with the
+    # split reverse table + saved-hu residual in the lmax=1 kernel's vjp
+    # the tabled step beats untabled 251.2 vs 276.5 ms (tile sweep
+    # 64/128/160/256 -> 160; tools/exp_tab100_step.py)
+    graph_t = graph.with_gather_tables(tile=160)
+    (state, m), step_s = _timed(
+        lambda s: step(s, graph_t, attrs, target), state, iters=10)
     fwd = jax.jit(lambda p: model(p, graph_t, attrs=attrs))
     _, fwd_s = _timed(fwd, state.params, iters=10)
 

@@ -1297,14 +1297,19 @@ def _specs_tab(cfg: MessageConfig, tile: int, sub: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_message_aggregate_tabled(cfg: MessageConfig, h, d2, attr, maskf,
-                                   loc, gtab, rtab,
+                                   loc, gtab, revd, remp, remn,
                                    w0e1, w1o1, w0e2, w1o2):
     """agg [N, F] — tabled-gather fused message kernel.
 
     h [N, F] node features (cm layout), N a multiple of cfg.tile; d2/attr/
     maskf [N*K, ·] flattened edge geometry; loc [N*K, 1] int32 slot -> table
     index (pad = U); gtab [ntiles, U] int32 table node ids (pad = N);
-    rtab [N, Q] int32 flat table positions per node (pad = ntiles*U).
+    revd [N, q0] / remp+remn [M] SPLIT reverse table (container
+    ``with_gather_tables``): dense flat tab positions for the first q0
+    appearances of each node (pad = ntiles*U) plus the node-sorted COO
+    remainder (pad node = N -> dropped by the segment_sum).  The split form
+    cuts the sender-gradient epilogue's per-ROW gather cost ~4x vs the
+    dense [N, Q] table (53 -> 12 ms at 250k/K=16, docs/PERF.md r5).
     cfg.tile must equal the graph's gather_tile and cfg.u its table size."""
     return _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab,
                          w0e1, w1o1, w0e2, w1o2)
@@ -1320,13 +1325,15 @@ def _take_rows(a, idx):
     return jnp.take(a, idx, axis=0, mode="clip")
 
 
-def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2):
+def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2,
+                  hu=None):
     n = h.shape[0]
     assert n % cfg.tile == 0, (n, cfg.tile)
     assert cfg.pack == 1, "tabled kernels run unpacked"
     n_tiles = n // cfg.tile
     assert gtab.shape == (n_tiles, cfg.u), (gtab.shape, n_tiles, cfg.u)
-    hu = _take_rows(h, gtab.reshape(-1))  # [ntiles*U, F]
+    if hu is None:
+        hu = _take_rows(h, gtab.reshape(-1))  # [ntiles*U, F]
     data_specs, w_specs = _specs_tab(cfg, cfg.tile, 1)
     ws = _split_weights(cfg, w0e1, w1o1, w0e2, w1o2)
     return pl.pallas_call(
@@ -1340,17 +1347,23 @@ def _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab, w0e1, w1o1, w0e2, w1o2):
     )(hu, h, loc, d2, attr, maskf, *ws)
 
 
-def _vjp_fwd_tab(cfg, h, d2, attr, maskf, loc, gtab, rtab,
+def _vjp_fwd_tab(cfg, h, d2, attr, maskf, loc, gtab, revd, remp, remn,
                  w0e1, w1o1, w0e2, w1o2):
+    # gather hu once and save it: the backward's regather of [ntiles*U, F]
+    # rows is pure per-row latency (~13-16 ns/row) while the HBM save+load
+    # of the same block is <1 ms (docs/PERF.md r5, generic-kernel result)
+    hu = _take_rows(h, gtab.reshape(-1))
     out = _fwd_call_tab(cfg, h, d2, attr, maskf, loc, gtab,
-                        w0e1, w1o1, w0e2, w1o2)
-    return out, (h, d2, attr, maskf, loc, gtab, rtab, w0e1, w1o1, w0e2, w1o2)
+                        w0e1, w1o1, w0e2, w1o2, hu=hu)
+    return out, (h, hu, d2, attr, maskf, loc, gtab, revd, remp, remn,
+                 w0e1, w1o1, w0e2, w1o2)
 
 
 def _vjp_bwd_tab(cfg, residuals, d_agg):
     import dataclasses
 
-    h, d2, attr, maskf, loc, gtab, rtab, w0e1, w1o1, w0e2, w1o2 = residuals
+    (h, hu, d2, attr, maskf, loc, gtab, revd, remp, remn,
+     w0e1, w1o1, w0e2, w1o2) = residuals
     gather_tile = cfg.tile
     bt = cfg.bwd_tile or (cfg.tile // 2 if cfg.tile % 2 == 0 else cfg.tile)
     assert gather_tile % bt == 0, (gather_tile, bt)
@@ -1359,7 +1372,6 @@ def _vjp_bwd_tab(cfg, residuals, d_agg):
     n = h.shape[0]
     n_tiles = n // bt
     n_tab = n // gather_tile
-    hu = _take_rows(h, gtab.reshape(-1))
     data_specs, w_specs = _specs_tab(cfg, bt, sub)
     T, K, F, U = bt, cfg.k, cfg.f, cfg.u
     Hs, Hv = cfg.hs, cfg.hv
@@ -1397,15 +1409,21 @@ def _vjp_bwd_tab(cfg, residuals, d_agg):
         compiler_params=_COMPILER_PARAMS,
     )(hu, h, loc, d2, attr, maskf, *ws, d_agg)
 
-    # sender gradients: dense reverse-table gather-sum (no scatter) —
-    # node v's cotangent is the sum of its d_hu rows across the <=Q tiles
-    # whose tables contain it (rtab pad = n_tab*U: clamped read, zeroed by
-    # the validity multiply inside the reduction — fuses, no select temp).
-    q = rtab.shape[1]
-    rt = rtab.reshape(-1)
-    valid = (rt < dhu.shape[0]).astype(dhu.dtype)
-    picked = _take_rows(dhu, rt) * valid[:, None]
-    d_h = dhr + picked.reshape(n, q, F).sum(axis=1).astype(dhr.dtype)
+    # sender gradients: SPLIT reverse-table gather-sum (no scatter) — node
+    # v's cotangent is the sum of its d_hu rows across the tiles whose
+    # tables contain it.  Dense [N, q0] covers the common case (pad
+    # n_tab*U: clamped read, zeroed by the validity multiply — fuses, no
+    # select temp); the node-sorted COO remainder goes through a sorted
+    # segment_sum (pad node = N: dropped).  ~4x fewer gathered rows than
+    # the dense [N, Q] table (docs/PERF.md r5).
+    acc = dhr
+    for qq in range(revd.shape[1]):
+        idx = revd[:, qq]
+        v = (idx < dhu.shape[0]).astype(dhu.dtype)
+        acc = acc + (_take_rows(dhu, idx) * v[:, None]).astype(dhr.dtype)
+    rem = _take_rows(dhu, remp)
+    d_h = acc + jax.ops.segment_sum(
+        rem, remn, num_segments=n, indices_are_sorted=True).astype(dhr.dtype)
 
     z = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     zeros = lambda x: jnp.zeros_like(x)
@@ -1413,7 +1431,7 @@ def _vjp_bwd_tab(cfg, residuals, d_agg):
     d_w1o1 = jnp.concatenate([dw1s1, dw1v1], axis=0).astype(wdt)
     d_w1o2 = jnp.concatenate([dw1s2, dw1v2], axis=0).astype(wdt)
     return (d_h, zeros(d2), zeros(attr), zeros(maskf),
-            z(loc), z(gtab), z(rtab),
+            z(loc), z(gtab), z(revd), z(remp), z(remn),
             dw01.astype(wdt), d_w1o1, dw02.astype(wdt), d_w1o2)
 
 

@@ -668,7 +668,7 @@ class SEGNNLayer:
             fused_message_aggregate_tabled,
         )
 
-        loc, gtab, rtab, _, _, _, gtile = gather
+        loc, gtab, _, revd, remp, remn, gtile = gather
         n, k = edge_mask.shape
         f = h_local.shape[-1]
         npad = loc.shape[0]
@@ -689,8 +689,8 @@ class SEGNNLayer:
 
         w0e1, w1o1, w0e2, w1o2 = self._folded_weights(params, h_local.dtype)
         agg = fused_message_aggregate_tabled(
-            cfg, h_p, d2, attr, maskf, loc.reshape(npad * k, 1), gtab, rtab,
-            w0e1, w1o1, w0e2, w1o2,
+            cfg, h_p, d2, attr, maskf, loc.reshape(npad * k, 1), gtab,
+            revd, remp, remn, w0e1, w1o1, w0e2, w1o2,
         )
         return agg[:n]
 

@@ -88,7 +88,9 @@ def main():
     timed("hs = h[senders] (XLA full row gather)", gath_full, h_p)
 
     fwd_tab = jax.jit(lambda hh: fm.fused_message_aggregate_tabled(
-        cfg_t, hh, d2_f, attr_f, mask_f, loc_f, gtab, rtab, *w))
+        cfg_t, hh, d2_f, attr_f, mask_f, loc_f, gtab,
+        graph.gather_rev_dense, graph.gather_rem_pos, graph.gather_rem_node,
+        *w))
     timed("tabled kernel fwd (incl table gather)", fwd_tab, h_p)
 
     cfg_v2 = fm.MessageConfig(hs=layer._pallas_hs, hv=layer._pallas_hv, k=k,
